@@ -1,0 +1,204 @@
+import jax.numpy as jnp
+import numpy as np
+
+from miniraytracer_tpu.ops import intersect as ix
+from miniraytracer_tpu.scene import types as T
+from miniraytracer_tpu.scene.builder import SceneBuilder
+
+
+def mk_rays(origins, dirs, time=0.0, inside=0):
+    ro = jnp.asarray(np.atleast_2d(origins), jnp.float32)
+    rd = jnp.asarray(np.atleast_2d(dirs), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    n = ro.shape[0]
+    return ix.Rays(
+        ro=ro,
+        rd=rd,
+        time=jnp.full((n,), time, jnp.float32),
+        inside=jnp.full((n,), inside, jnp.int32),
+    )
+
+
+def base_builder():
+    b = SceneBuilder()
+    b.set_camera([0, 0, 0], [0, 0, -1], [0, 1, 0], 40, 1.0, 0.0, 1.0, 0.0, 1.0)
+    return b
+
+
+def test_sphere_hit_front_and_miss():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 0, 0]))
+    b.sphere([0, 0, -5], 1.0, m)
+    scene = b.build()
+    rays = mk_rays([[0, 0, 0], [0, 3, 0]], [[0, 0, -1], [0, 0, -1]])
+    rec = ix.scene_hit(scene, rays)
+    assert bool(rec.hit[0]) and not bool(rec.hit[1])
+    np.testing.assert_allclose(float(rec.t[0]), 4.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.p[0]), [0, 0, -4], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 0, 1], atol=1e-5)
+    # uv: normal (0,0,1): phi=atan2(1,0)=pi/2, u = 0.5 - 0.25 = 0.25; v=0.5
+    np.testing.assert_allclose(float(rec.u[0]), 0.25, atol=1e-5)
+    np.testing.assert_allclose(float(rec.v[0]), 0.5, atol=1e-5)
+
+
+def test_sphere_backface_only_when_inside():
+    b = base_builder()
+    m = b.dielectric(1.5)
+    b.sphere([0, 0, 0], 2.0, m)
+    scene = b.build()
+    # ray starting at center: front root negative, back root +2
+    r_out = mk_rays([0, 0, 0], [0, 0, -1], inside=0)
+    r_in = mk_rays([0, 0, 0], [0, 0, -1], inside=1)
+    rec0 = ix.scene_hit(scene, r_out)
+    rec1 = ix.scene_hit(scene, r_in)
+    assert not bool(rec0.hit[0])  # sphere.cpp:33 backface needs isInside
+    assert bool(rec1.hit[0])
+    np.testing.assert_allclose(float(rec1.t[0]), 2.0, rtol=1e-5)
+
+
+def test_hollow_sphere_negative_radius_flips_normal():
+    b = base_builder()
+    m = b.dielectric(1.5)
+    b.sphere([0, 0, -5], -1.0, m)
+    scene = b.build()
+    rec = ix.scene_hit(scene, mk_rays([0, 0, 0], [0, 0, -1]))
+    assert bool(rec.hit[0])
+    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 0, -1], atol=1e-5)  # inward
+
+
+def test_moving_sphere_lerp():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    b.sphere([0, 0, -5], 1.0, m, center1=[2, 0, -5], t0=0.0, t1=1.0)
+    scene = b.build()
+    rec0 = ix.scene_hit(scene, mk_rays([0, 0, 0], [0, 0, -1], time=0.0))
+    rec_half = ix.scene_hit(scene, mk_rays([1, 0, 0], [0, 0, -1], time=0.5))
+    assert bool(rec0.hit[0]) and bool(rec_half.hit[0])
+    np.testing.assert_allclose(float(rec_half.t[0]), 4.0, rtol=1e-5)
+
+
+def test_rect_one_sided():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    b.xz_rect(0, 5, 0, 5, 2.0, m)  # y=2 plane, normal +y
+    scene = b.build()
+    from_above = mk_rays([2.5, 5, 2.5], [0, -1, 0])
+    from_below = mk_rays([2.5, 0, 2.5], [0, 1, 0])
+    rec_a = ix.scene_hit(scene, from_above)
+    rec_b = ix.scene_hit(scene, from_below)
+    assert bool(rec_a.hit[0]) and not bool(rec_b.hit[0])
+    np.testing.assert_allclose(float(rec_a.t[0]), 3.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec_a.n[0]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(float(rec_a.u[0]), 0.5, atol=1e-5)
+
+
+def test_rect_flipped_ctor_args_flip_normal():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    b.xz_rect(5, 0, 0, 5, 2.0, m)  # x0 > x1 => normal -y (rect.cpp:6-22)
+    scene = b.build()
+    rec = ix.scene_hit(scene, mk_rays([2.5, 0, 2.5], [0, 1, 0]))
+    assert bool(rec.hit[0])
+    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, -1, 0], atol=1e-6)
+
+
+def test_triangle_hit_and_backface_cull():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    # triangle in z=-3 plane with normal +z (ccw as seen from +z)
+    b.triangle([-1, -1, -3], [1, -1, -3], [0, 1, -3], m)
+    scene = b.build()
+    front = mk_rays([0, 0, 0], [0, 0, -1])
+    back = mk_rays([0, 0, -6], [0, 0, 1])
+    rec_f = ix.scene_hit(scene, front)
+    rec_b = ix.scene_hit(scene, back)
+    assert bool(rec_f.hit[0]) and not bool(rec_b.hit[0])
+    np.testing.assert_allclose(float(rec_f.t[0]), 3.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec_f.n[0]), [0, 0, 1], atol=1e-5)
+    # backface hits when inside (triangle.cpp:227-235)
+    rec_bi = ix.scene_hit(scene, mk_rays([0, 0, -6], [0, 0, 1], inside=1))
+    assert bool(rec_bi.hit[0])
+
+
+def test_box_is_12_one_sided_triangles():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    b.box([0, 0, 0], [1, 1, 1], m)
+    scene = b.build()
+    assert scene.n_tris == 12
+    rec = ix.scene_hit(scene, mk_rays([0.5, 0.5, 3], [0, 0, -1]))
+    assert bool(rec.hit[0])
+    np.testing.assert_allclose(float(rec.t[0]), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 0, 1], atol=1e-5)
+    # from inside: all faces backfacing -> no hit (matches one-sided rects)
+    rec_in = ix.scene_hit(scene, mk_rays([0.5, 0.5, 0.5], [0, 0, -1]))
+    assert not bool(rec_in.hit[0])
+
+
+def test_rotated_translated_box():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    b.box([0, 0, 0], [165, 330, 165], m, rot_y_deg=15.0, offset=[265, 0, 295])
+    scene = b.build()
+    # ray from above center of the box
+    cx = 265 + 165 / 2
+    cz = 295 + 165 / 2
+    rec = ix.scene_hit(scene, mk_rays([cx, 500, cz], [0, -1, 0]))
+    assert bool(rec.hit[0])
+    np.testing.assert_allclose(float(rec.t[0]), 170.0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 1, 0], atol=1e-4)
+
+
+def test_closest_of_multiple_types():
+    b = base_builder()
+    m = b.lambertian(b.tex_const([1, 1, 1]))
+    b.sphere([0, 0, -10], 1.0, m)
+    b.xy_rect(-5, 5, -5, 5, -6, m)  # closer plane, normal +z
+    b.triangle([-1, -1, -3], [1, -1, -3], [0, 1, -3], m)  # closest
+    scene = b.build()
+    rec = ix.scene_hit(scene, mk_rays([0, 0, 0], [0, 0, -1]))
+    assert int(rec.mat[0]) == m
+    np.testing.assert_allclose(float(rec.t[0]), 3.0, rtol=1e-5)
+
+
+def test_volume_sphere_scatter_distribution():
+    b = base_builder()
+    alb = b.tex_const([1, 1, 1])
+    b.volume_sphere([0, 0, -10], 2.0, density=0.5, albedo_tex=alb)
+    scene = b.build()
+    n = 20000
+    rays = ix.Rays(
+        ro=jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1)),
+        rd=jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1)),
+        time=jnp.zeros((n,)),
+        inside=jnp.zeros((n,), jnp.int32),
+    )
+    from miniraytracer_tpu.ops import rng
+
+    k = rng.ray_key(jnp.arange(n), jnp.zeros((n,), jnp.uint32))
+    uv = rng.uniform(k, 0)[:, None]
+    rec = ix.scene_hit(scene, rays, u_volume=uv)
+    hits = np.asarray(rec.hit)
+    ts = np.asarray(rec.t)[hits]
+    # entry at t=8, exit at t=12; P(scatter) = 1 - exp(-0.5*4)
+    p_expect = 1 - np.exp(-0.5 * 4)
+    assert abs(hits.mean() - p_expect) < 0.02
+    assert ts.min() >= 8.0 and ts.max() <= 12.0
+    # free-path: P(d < x | scatter) truncated exponential; check mean
+    d = ts - 8.0
+    mean_expect = (1 / 0.5) - 4 * np.exp(-2) / p_expect
+    assert abs(d.mean() - mean_expect) < 0.05
+
+
+def test_volume_box_respects_rotation():
+    b = base_builder()
+    alb = b.tex_const([1, 1, 1])
+    b.volume_box([0, 0, 0], [165, 165, 165], density=1e9, albedo_tex=alb, rot_y_deg=-18.0, offset=[130, 0, 65])
+    scene = b.build()
+    cx, cz = 130 + 82, 65 + 82
+    rays = mk_rays([cx, 300, cz], [0, -1, 0])
+    uv = jnp.full((1, 1), 0.5, jnp.float32)
+    rec = ix.scene_hit(scene, rays, u_volume=uv)
+    assert bool(rec.hit[0])  # dense volume scatters immediately at entry
+    assert 130.0 < float(rec.t[0]) < 140.0
+    assert int(scene.mat_type[int(rec.mat[0])]) == T.MAT_ISOTROPIC
