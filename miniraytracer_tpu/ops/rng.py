@@ -102,6 +102,18 @@ def sample_cosine_direction(r1, r2):
     return jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
 
 
+def sample_cosine_direction_exact(r1, r2):
+    """Textbook cosine-weighted hemisphere sample (unit length, density
+    cos(theta)/pi). Opt-in alternative to the reference-compat variant above:
+    the reference's extra factor 2 skews its lobe so that *material-pdf-only*
+    estimates are ~4x too dark for overhead lights (verified numerically);
+    with light-list mixture sampling both variants agree closely."""
+    z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    phi = 2.0 * PI * r1
+    sq = jnp.sqrt(r2)
+    return jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
+
+
 def sample_on_sphere(r1, r2):
     """Uniform direction on the unit sphere (pcg.cpp:102-110)."""
     x = r1 * 2.0 - 1.0

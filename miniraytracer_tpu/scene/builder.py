@@ -254,9 +254,6 @@ class SceneBuilder:
         )
         (mt, mtex, mpar), _ = pack(self.materials, [i_, i_, s_], (0, 0, 0))
         (xt, xc0, xc1, xsc, ximg), _ = pack(self.textures, [i_, v3, v3, s_, i_], (0, np.zeros(3), np.zeros(3), 0, 0))
-        lt = [h[0] for h in self.lights]
-        li = [h[1] for h in self.lights]
-        (lta, lia), lact = pack(list(zip(lt, li)) if self.lights else [], [i_, i_], (0, 0))
 
         if self.images:
             hh = max(im.shape[0] for im in self.images)
@@ -295,11 +292,12 @@ class SceneBuilder:
             tex_type=xt, tex_c0=xc0, tex_c1=xc1, tex_scale=xsc, tex_img=ximg,
             images=jnp.asarray(ims),
             perlin_vec=pv, perlin_px=px, perlin_py=py, perlin_pz=pz,
-            light_type=lta, light_idx=lia, light_active=lact,
             camera=self.camera,
             use_sky=self.use_sky,
-            n_lights=len(self.lights),
+            lights=tuple((int(t), int(i)) for t, i in self.lights),
             name=self.name,
+            has_perlin=any(t[0] == T.TEX_PERLIN for t in self.textures),
+            has_image=any(t[0] == T.TEX_IMAGE for t in self.textures),
         )
 
 

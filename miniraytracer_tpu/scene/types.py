@@ -138,17 +138,24 @@ class SceneData:
     perlin_py: jnp.ndarray  # (256,) i32
     perlin_pz: jnp.ndarray  # (256,) i32
 
-    # --- importance-sampled light list ("biased objects", scene.h:19-25) ---
-    light_type: jnp.ndarray  # (L,) i32 PRIM_SPHERE | PRIM_RECT
-    light_idx: jnp.ndarray  # (L,) i32 index into that table
-    light_active: jnp.ndarray  # (L,) bool
-
     camera: Camera
 
     # --- static metadata ---
     use_sky: bool = _meta(default=True)  # sky gradient vs black (main.cpp:110-116)
-    n_lights: int = _meta(default=0)  # 0 => unbiased (no light sampling)
+    # importance-sampled light list ("biased objects", scene.h:19-25):
+    # static tuple of (PRIM_*, table index) — composition is per-scene static
+    lights: tuple = _meta(default=())
     name: str = _meta(default="scene")
+    has_perlin: bool = _meta(default=False)  # prune perlin gathers statically
+    has_image: bool = _meta(default=False)  # prune image gathers statically
+    # False (default) replicates the reference's non-normalized cosine sample
+    # (pcg.cpp:87-98 quirk — needed for image parity); True uses the textbook
+    # cosine lobe (consistent MIS estimator)
+    exact_cosine: bool = _meta(default=False)
+
+    @property
+    def n_lights(self):
+        return len(self.lights)
 
     @property
     def n_spheres(self):
