@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: Mrays/s/chip forward+backward on Cornell box 500x500.
+
+The north-star metric (BASELINE.json): a full differentiable render step —
+forward wavefront trace + reverse-mode sweep producing gradients w.r.t.
+material albedo, emission, and sphere/triangle geometry — at the reference's
+default Cornell configuration (500x500, 32-bounce cap, cmdline_parser.h:6-15).
+
+Baseline derivation (BASELINE.md): the reference publishes 8.55 s for the
+revised BVH on random_scene at 600x400 x 16 spp x 16 bounces, single thread
+(scene.cpp:113). That is 3.84M camera samples; with the sky-terminated average
+path length of that scene (~3 rays/sample measured with our tracer) it is
+~11.5M rays -> ~1.3 Mrays/s/thread, or ~10 Mrays/s on a typical 8-core
+desktop — forward only. We use 10.0 Mrays/s as the (generous) CPU reference
+point; `vs_baseline` > 1 means one TPU chip beats a whole reference CPU *and*
+also computes the backward pass the reference does not have.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+BASELINE_MRAYS = 10.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=500)
+    ap.add_argument("--height", type=int, default=500)
+    ap.add_argument("--bounces", type=int, default=32)
+    ap.add_argument("--fwd-passes", type=int, default=16)
+    ap.add_argument("--fwdbwd-steps", type=int, default=4)
+    ap.add_argument("--scene", type=str, default="cornell_box")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.models import integrator as integ
+    from miniraytracer_tpu.models import scenes as S
+    from miniraytracer_tpu.parallel import make_mesh, make_train_step, extract_params
+    from miniraytracer_tpu.parallel.render import make_frame, render_pass_sharded
+
+    W, H, B = args.width, args.height, args.bounces
+    scene = getattr(S, args.scene)(W / H)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, 1)
+    offs, _ = integ.sample_offsets(64)
+    ml = jnp.float32(1000.0)
+
+    # ---- forward-only throughput (secondary) ----
+    frame = make_frame(W, H, mesh)
+    fwd = lambda fr, i: render_pass_sharded(
+        scene, fr, jnp.int32(i), offs, ml,
+        width=W, height=H, max_bounces=B, mesh=mesh, loop="while",
+    )
+    frame, rays_per_pass = fwd(frame, 0)  # warmup/compile
+    rays_per_pass = float(rays_per_pass)
+    jax.block_until_ready(frame)
+    t0 = time.perf_counter()
+    total_fwd_rays = 0.0
+    counts = []
+    for i in range(1, args.fwd_passes + 1):
+        frame, r = fwd(frame, i)
+        counts.append(r)
+    jax.block_until_ready(frame)
+    t_fwd = time.perf_counter() - t0
+    total_fwd_rays = float(sum(float(c) for c in counts))
+    fwd_mrays = total_fwd_rays / t_fwd / 1e6
+
+    # ---- forward+backward training step (headline) ----
+    step = make_train_step(mesh, width=W, height=H, max_bounces=B)
+    params = extract_params(scene)
+    target = frame  # use the partially converged render as the target
+    lr = jnp.float32(0.0)
+    # measure rays of one scan-mode pass (the step's forward trip count)
+    _, scan_rays = render_pass_sharded(
+        scene, make_frame(W, H, mesh), jnp.int32(0), offs, ml,
+        width=W, height=H, max_bounces=B, mesh=mesh, loop="scan",
+    )
+    scan_rays = float(scan_rays)
+    # two warmup steps: the second compiles the steady-state layout (fed-back
+    # params carry jit-decided shardings that differ from the host arrays)
+    params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
+    params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(args.fwdbwd_steps):
+        params, loss, _ = step(params, scene, target, jnp.int32(i), offs, lr)
+    jax.block_until_ready(loss)
+    t_step = time.perf_counter() - t0
+    fwdbwd_mrays = scan_rays * args.fwdbwd_steps / t_step / 1e6
+
+    print(json.dumps({
+        "metric": "cornell_500x500_mrays_per_s_fwdbwd",
+        "value": round(fwdbwd_mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(fwdbwd_mrays / BASELINE_MRAYS, 3),
+        "extra": {
+            "fwd_mrays_per_s": round(fwd_mrays, 3),
+            "rays_per_pass_while": rays_per_pass,
+            "rays_per_pass_scan": scan_rays,
+            "loss": float(loss),
+            "devices": n_dev,
+            "bounces": B,
+            "scene": scene.name,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,8 +127,15 @@ def trace_paths(scene: T.SceneData, rays0: ix.Rays, keys, max_bounces: int, loop
     # depth runs 0..max_bounces inclusive: at depth==max_bounces only
     # emission/background is collected (scatter gated by depth_ok)
     if loop == "scan":
+        # remat each bounce: the backward sweep re-runs the forward bounce
+        # instead of keeping every per-bounce intermediate live — trades
+        # FLOPs for HBM, required at 500x500 x 33 bounces
+        bounce = jax.checkpoint(
+            lambda sc, s, depth: _bounce(sc, s, depth, max_bounces)
+        )
+
         def body(s, depth):
-            return _bounce(scene, s, depth, max_bounces), None
+            return bounce(scene, s, depth), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(max_bounces + 1))
     else:
@@ -163,6 +170,69 @@ def sample_offsets(spp: int):
     return jnp.asarray(offs), ns
 
 
+def sample_radiance(
+    scene: T.SceneData,
+    pix: jnp.ndarray,  # (N,) u32 pixel ids (index = x + y*width, bottom row 0)
+    sample_idx: jnp.ndarray,  # () i32
+    offset: jnp.ndarray,  # (2,) subpixel offset
+    *,
+    width: int,
+    height: int,
+    max_bounces: int,
+    loop: str = "while",
+):
+    """One radiance sample for each listed pixel. Returns ((N,3), rays ())."""
+    x = (pix % width).astype(jnp.float32)
+    y = (pix // width).astype(jnp.float32)
+    s = (x + offset[0]) / width
+    t = (y + offset[1]) / height
+    keys = rng.ray_key(pix, jnp.full(pix.shape, sample_idx, jnp.uint32))
+    rays = cam_mod.get_rays(scene.camera, s, t, keys)
+    return trace_paths(scene, rays, keys, max_bounces, loop=loop)
+
+
+def merge_pass(frame, color, sample_idx, n_new, max_lum):
+    """Fold `n_new` fresh per-pixel sample averages (`color`) into the running
+    average `frame` that already holds `sample_idx` samples — draw2 semantics
+    (main.cpp:221-229): incremental average then luminance clamp on the
+    running average. `color` must already be NaN-guarded."""
+    k = sample_idx.astype(jnp.float32)
+    new_frame = jnp.where(
+        sample_idx > 0,
+        frame + (color - frame) * (n_new / (k + n_new)),
+        color,
+    )
+    lum = vm.luminance(new_frame)
+    scale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
+    return new_frame * scale[:, None]
+
+
+def render_pixels(
+    scene: T.SceneData,
+    frame: jnp.ndarray,  # (N, 3) running average rows for `pix`
+    pix: jnp.ndarray,  # (N,) u32 pixel ids
+    sample_idx: jnp.ndarray,  # () i32
+    offset: jnp.ndarray,  # (2,)
+    max_lum: jnp.ndarray,  # ()
+    *,
+    width: int,
+    height: int,
+    max_bounces: int,
+    loop: str = "while",
+):
+    """One progressive pass over an arbitrary pixel subset (shard-friendly
+    core). Returns (frame', rays_traced)."""
+    radiance, rays_traced = sample_radiance(
+        scene, pix, sample_idx, offset,
+        width=width, height=height, max_bounces=max_bounces, loop=loop,
+    )
+    # NaN policy (main.cpp:214-219): non-finite -> previous pixel (or 0)
+    finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
+    prev = jnp.where(sample_idx > 0, frame, jnp.zeros_like(frame))
+    color = jnp.where(finite, radiance, prev)
+    return merge_pass(frame, color, sample_idx, 1.0, max_lum), rays_traced
+
+
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces", "loop"))
 def render_pass(
     scene: T.SceneData,
@@ -182,31 +252,11 @@ def render_pass(
     v measured from the bottom (main.cpp:156-157) — flip rows for display.
     Returns (frame', rays_traced).
     """
-    n = width * height
-    pix = jnp.arange(n, dtype=jnp.uint32)
-    x = (pix % width).astype(jnp.float32)
-    y = (pix // width).astype(jnp.float32)
-    s = (x + offset[0]) / width
-    t = (y + offset[1]) / height
-    keys = rng.ray_key(pix, jnp.full((n,), sample_idx, jnp.uint32))
-    rays = cam_mod.get_rays(scene.camera, s, t, keys)
-    radiance, rays_traced = trace_paths(scene, rays, keys, max_bounces, loop=loop)
-
-    # NaN policy (main.cpp:214-219): non-finite -> previous pixel (or 0)
-    finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
-    prev = jnp.where(sample_idx > 0, frame, jnp.zeros_like(frame))
-    color = jnp.where(finite, radiance, prev)
-
-    # incremental average (main.cpp:221-223)
-    new_frame = jnp.where(
-        sample_idx > 0,
-        frame + (color - frame) / (sample_idx.astype(jnp.float32) + 1.0),
-        color,
+    pix = jnp.arange(width * height, dtype=jnp.uint32)
+    return render_pixels(
+        scene, frame, pix, sample_idx, offset, max_lum,
+        width=width, height=height, max_bounces=max_bounces, loop=loop,
     )
-    # luminance clamp on the running average (main.cpp:226-229)
-    lum = vm.luminance(new_frame)
-    scale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
-    return new_frame * scale[:, None], rays_traced
 
 
 def render(

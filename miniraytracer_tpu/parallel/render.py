@@ -1,0 +1,151 @@
+"""Sharded progressive rendering over a (dp, sp) device mesh.
+
+Replaces the reference's tile work queue + worker pool (work_queue.cpp,
+main.cpp:338-382) with static SPMD sharding:
+
+- pixels are split evenly over the `dp` axis (the Hilbert-shuffled tile
+  queue exists only to load-balance *threads*; after wavefront flattening
+  every pixel costs the same program, so a static split is optimal),
+- each `sp` slice renders a different progressive sample pass
+  (work_queue_dynamic's pass index, work_queue.cpp:158-175); passes are
+  mean-reduced on-device with `psum` and folded into the running average
+  with draw2 semantics (main.cpp:221-229),
+- the scene tables are replicated in HBM on every device; the only
+  cross-device traffic is the O(1) `psum` of the pass colors over `sp` and
+  the scalar ray-counter reduction.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from miniraytracer_tpu.models import integrator as integ
+
+
+def _padded_size(n: int, ndp: int) -> int:
+    return -(-n // ndp) * ndp
+
+
+@lru_cache(maxsize=32)
+def _make_pass_fn(mesh: Mesh, width: int, height: int, max_bounces: int, loop: str):
+    ndp = mesh.shape["dp"]
+    nsp = mesh.shape["sp"]
+    n_pix = width * height
+    n_pad = _padded_size(n_pix, ndp)
+    local = n_pad // ndp
+
+    def body(scene, frame_l, sample_idx, offset_all, max_lum):
+        # global pixel ids for this dp shard; padding lanes re-render pixel 0
+        # (their rows are sliced off on output)
+        base = jax.lax.axis_index("dp") * local
+        pix = base + jnp.arange(local, dtype=jnp.uint32)
+        pix = jnp.minimum(pix, jnp.uint32(n_pix - 1))
+        # this sp slice renders pass sample_idx + sp_index
+        sp_i = jax.lax.axis_index("sp")
+        my_sample = sample_idx + sp_i
+        offset = offset_all[sp_i % offset_all.shape[0]]
+
+        radiance, rays = integ.sample_radiance(
+            scene, pix, my_sample, offset,
+            width=width, height=height, max_bounces=max_bounces, loop=loop,
+        )
+        # NaN guard per sample: non-finite -> running average (main.cpp:214-219)
+        finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
+        prev = jnp.where(sample_idx > 0, frame_l, jnp.zeros_like(frame_l))
+        color = jnp.where(finite, radiance, prev)
+        # mean over the sp passes rendered this step
+        color = jax.lax.psum(color, "sp") / nsp
+        new_frame = integ.merge_pass(frame_l, color, sample_idx, float(nsp), max_lum)
+        rays = jax.lax.psum(rays, ("dp", "sp"))
+        return new_frame, rays
+
+    # check_vma off: the wavefront while_loop carry mixes varying (rays) and
+    # invariant (fresh zeros/ones) leaves, which the VMA checker rejects even
+    # though the program is correct
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P(), P(), P()),
+        out_specs=(P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_pass_sharded(
+    scene, frame, sample_idx, offsets, max_lum, *,
+    width: int, height: int, max_bounces: int, mesh: Mesh, loop: str = "while",
+):
+    """One sharded progressive step: renders mesh.shape['sp'] sample passes
+    (indices sample_idx .. sample_idx+nsp-1) over all pixels.
+
+    `frame` is the padded (padded_n, 3) running average sharded P('dp');
+    `offsets` is the full (ns, 2) stratified offset table (each sp slice
+    picks its row). Returns (frame', total rays this step).
+    """
+    fn = _make_pass_fn(mesh, width, height, max_bounces, loop)
+    return fn(scene, frame, sample_idx, offsets, max_lum)
+
+
+def make_frame(width: int, height: int, mesh: Mesh):
+    """Zero-initialized running-average framebuffer, padded to the dp axis and
+    device-sharded (device-resident accumulation, SURVEY.md section 2.2)."""
+    n_pad = _padded_size(width * height, mesh.shape["dp"])
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.device_put(jnp.zeros((n_pad, 3), jnp.float32), sharding)
+
+
+def render_distributed(
+    scene,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    max_bounces: int = 32,
+    max_lum: float = 1000.0,
+    loop: str = "while",
+    progress=None,
+):
+    """Full progressive render sharded over `mesh`.
+
+    Host loop over ceil(spp/nsp) steps; each step is one fused SPMD program.
+    Returns (frame (H,W,3) on host, stats dict).
+    """
+    import time as _time
+
+    offs, ns = integ.sample_offsets(spp)
+    nsp = mesh.shape["sp"]
+    frame = make_frame(width, height, mesh)
+    ml = jnp.float32(max_lum)
+    ray_counts = []
+    t0 = _time.perf_counter()
+    i = 0
+    while i < ns:
+        # roll the offset table so sp slice j reads row (i+j) % ns
+        offs_i = jnp.roll(offs, -i, axis=0) if i else offs
+        frame, rays = render_pass_sharded(
+            scene, frame, jnp.int32(i), offs_i, ml,
+            width=width, height=height, max_bounces=max_bounces,
+            mesh=mesh, loop=loop,
+        )
+        ray_counts.append(rays)
+        i += nsp
+        if progress is not None:
+            progress(min(i, ns), ns, frame)
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total_rays = float(sum(ray_counts))
+    stats = {
+        "seconds": elapsed,
+        "rays": total_rays,
+        "mrays_per_s": total_rays / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": ns,
+        "devices": mesh.devices.size,
+    }
+    # gather to host, drop padding (all_gather of the sharded buffer)
+    host = jax.device_get(frame)[: width * height]
+    return host.reshape(height, width, 3), stats

@@ -1,0 +1,124 @@
+"""Distributed differentiable render step ("training step").
+
+The north-star capability (BASELINE.json): pixel gradients w.r.t. material
+albedo, emission, and sphere/triangle geometry, with the loss and parameter
+gradients reduced across the mesh. The analogue of a data-parallel training
+step: each (dp, sp) mesh cell renders its pixel shard for its sample pass,
+the loss is `psum`-reduced over the whole mesh, and reverse-mode AD through
+`shard_map` inserts the gradient all-reduce (the transpose of replicating
+the scene params to every device is exactly the `psum` over their
+per-device partial gradients — overlapped with the backward sweep by XLA).
+
+The bounce loop uses the `lax.scan` variant (static trip count) — reverse
+AD cannot differentiate a `while_loop`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from miniraytracer_tpu.models import integrator as integ
+from miniraytracer_tpu.scene import types as T
+
+
+class TrainParams(NamedTuple):
+    """Differentiable scene-parameter subset (north-star gradient targets)."""
+
+    tex_c0: jnp.ndarray  # albedo / emission colors (X,3)
+    tex_c1: jnp.ndarray  # checker odd colors (X,3)
+    mat_param: jnp.ndarray  # gloss / ior / emission scale (M,)
+    sph_c0: jnp.ndarray  # sphere centers (S,3)
+    sph_radius: jnp.ndarray  # (S,)
+    tri_m: jnp.ndarray  # triangle base vertices (T,3)
+
+
+def extract_params(scene: T.SceneData) -> TrainParams:
+    return TrainParams(
+        tex_c0=scene.tex_c0,
+        tex_c1=scene.tex_c1,
+        mat_param=scene.mat_param,
+        sph_c0=scene.sph_c0,
+        sph_radius=scene.sph_radius,
+        tri_m=scene.tri_m,
+    )
+
+
+def apply_params(scene: T.SceneData, p: TrainParams) -> T.SceneData:
+    return dataclasses.replace(
+        scene,
+        tex_c0=p.tex_c0,
+        tex_c1=p.tex_c1,
+        mat_param=p.mat_param,
+        sph_c0=p.sph_c0,
+        sph_radius=p.sph_radius,
+        tri_m=p.tri_m,
+    )
+
+
+@lru_cache(maxsize=16)
+def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int):
+    ndp = mesh.shape["dp"]
+    nsp = mesh.shape["sp"]
+    n_pix = width * height
+    n_pad = -(-n_pix // ndp) * ndp
+    local = n_pad // ndp
+
+    def shard_loss(scene, target_l, sample0, offset_all):
+        """Per-mesh-cell partial: render local pixels for this cell's sample
+        pass, average over sp, return replicated scalar SSE."""
+        base = jax.lax.axis_index("dp") * local
+        pix = base + jnp.arange(local, dtype=jnp.uint32)
+        in_image = pix < jnp.uint32(n_pix)
+        pix = jnp.minimum(pix, jnp.uint32(n_pix - 1))
+        sp_i = jax.lax.axis_index("sp")
+        offset = offset_all[sp_i % offset_all.shape[0]]
+
+        radiance, _ = integ.sample_radiance(
+            scene, pix, sample0 + sp_i, offset,
+            width=width, height=height, max_bounces=max_bounces, loop="scan",
+        )
+        radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
+        mean_color = jax.lax.psum(radiance, "sp") / nsp
+        err = jnp.where(in_image[:, None], mean_color - target_l, 0.0)
+        sse = jnp.sum(err * err)
+        return jax.lax.psum(sse, ("dp", "sp"))
+
+    # check_vma off: see parallel.render — the scan carry mixes varying and
+    # invariant leaves. With the checker off the shard_map transpose still
+    # psums gradients of replicated inputs (the scene params all-reduce).
+    sharded = jax.shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_fn(params, scene, target, sample0, offsets):
+        scene = apply_params(scene, params)
+        return sharded(scene, target, sample0, offsets) / (n_pix * 3.0)
+
+    def step(params, scene, target, sample0, offsets, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, target, sample0, offsets)
+        new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss, grads
+
+    return jax.jit(step)
+
+
+def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int):
+    """Jitted SPMD train step.
+
+    step(params, scene, target, sample0, offsets, lr)
+      -> (params', loss, grads)
+
+    `target` must be the padded (padded_n, 3) flat image (see
+    render.make_frame for the padding rule), sharded or shardable P('dp').
+    """
+    return _make_step(mesh, width, height, max_bounces)
