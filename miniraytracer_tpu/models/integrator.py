@@ -14,15 +14,17 @@ branch semantics:
   (main.cpp:110-116)
 - depth cap / light hit terminates with emission only (main.cpp:105-107)
 
-Two loop modes: `lax.while_loop` with an all-dead early exit for fast
-forward-only renders, and `lax.scan` (static trip count) for the
-differentiable path (reverse-mode AD needs a reversible loop).
+All per-ray state is componentwise SoA (vecmath.V3) so every op is
+full-lane-width VPU work; the (H*W, 3) array form exists only at the
+framebuffer boundary.
 
-The progressive driver replicates the draw2 worker (main.cpp:193-243):
-per-pass stratified sample offsets (main.cpp:316-332), non-finite samples
-replaced by the previous pixel value (main.cpp:214-219), incremental
-averaging, and the luminance clamp applied to the running average
-(main.cpp:226-229).
+Renderers:
+- `render_wavefront` — the fast forward path: ONE device program for the
+  whole frame; lanes regenerate onto their pixel's next sample the moment a
+  path dies (~100% lane occupancy vs ~1/avg-path-length for pass loops).
+- `render` — progressive per-sample passes (draw2, work_queue.cpp:158-175),
+  used for live preview semantics and as the AD-friendly path (`loop='scan'`
+  with per-bounce remat).
 """
 
 from __future__ import annotations
@@ -37,35 +39,36 @@ from miniraytracer_tpu.models import camera as cam_mod
 from miniraytracer_tpu.models import materials as mat_mod
 from miniraytracer_tpu.ops import intersect as ix
 from miniraytracer_tpu.ops import rng, vecmath as vm
+from miniraytracer_tpu.ops.vecmath import V3, vwhere
 from miniraytracer_tpu.scene import types as T
 
 
 class PathState(NamedTuple):
-    ro: jnp.ndarray
-    rd: jnp.ndarray
+    ro: V3
+    rd: V3
     time: jnp.ndarray
     inside: jnp.ndarray
-    beta: jnp.ndarray  # (N,3) throughput
-    radiance: jnp.ndarray  # (N,3)
+    beta: V3  # throughput
+    radiance: V3
     alive: jnp.ndarray  # (N,) bool
     keys: jnp.ndarray  # (N,) u32 per-path root key
     rays_traced: jnp.ndarray  # () f32 counter (metrics, main.cpp:68)
 
 
-def _background(scene: T.SceneData, rd):
+def _background(scene: T.SceneData, rd: V3) -> V3:
     if scene.use_sky:
-        t = 0.5 * (rd[:, 1] + 1.0)
-        white = jnp.array([1.0, 1.0, 1.0])
-        blue = jnp.array([0.5, 0.7, 1.0])
-        return (1.0 - t)[:, None] * white + t[:, None] * blue
-    return jnp.zeros_like(rd)
+        t = 0.5 * (rd.y + 1.0)
+        return V3(
+            (1.0 - t) + t * 0.5,
+            (1.0 - t) + t * 0.7,
+            (1.0 - t) + t * 1.0,
+        )
+    return V3.zeros(rd.x.shape)
 
 
-def _bounce(scene: T.SceneData, state: PathState, depth, max_bounces) -> PathState:
-    """One wavefront bounce for every ray (dead lanes masked)."""
-    rays = ix.Rays(ro=state.ro, rd=state.rd, time=state.time, inside=state.inside)
-    keys_b = rng.fold(state.keys, depth)
-
+def _shade_and_advance(scene, rays, keys_b, depth_ok, alive, beta, radiance):
+    """Shared bounce core: intersect, shade, accumulate; returns
+    (rec, sc, cont, beta', radiance')."""
     if scene.n_volumes > 0:
         u_vol = jnp.stack(
             [rng.uniform(keys_b, mat_mod.SLOT_VOL + vi) for vi in range(scene.n_volumes)],
@@ -73,53 +76,58 @@ def _bounce(scene: T.SceneData, state: PathState, depth, max_bounces) -> PathSta
         )
     else:
         u_vol = None
-
     rec = ix.scene_hit(scene, rays, u_vol)
-    depth_ok = depth < max_bounces
     sc = mat_mod.shade(scene, rays, rec, keys_b, depth_ok)
 
-    alive = state.alive
     # miss -> background, path dies
     miss = alive & ~rec.hit
-    radiance = state.radiance + jnp.where(
-        miss[:, None], state.beta * _background(scene, state.rd), 0.0
-    )
+    radiance = radiance + vwhere(miss, beta * _background(scene, rays.rd), V3.zeros(miss.shape))
     # emission (skipped on the specular-scatter branch)
     emit_mask = alive & rec.hit & sc.add_emitted
-    radiance = radiance + jnp.where(emit_mask[:, None], state.beta * sc.emitted, 0.0)
+    radiance = radiance + vwhere(emit_mask, beta * sc.emitted, V3.zeros(miss.shape))
 
     cont = alive & rec.hit & sc.scattered
-    beta = jnp.where(cont[:, None], state.beta * sc.weight, state.beta)
+    beta = vwhere(cont, beta * sc.weight, beta)
     # kill zero-throughput paths (estimator-identical, saves traversal work)
-    cont = cont & jnp.any(beta > 0.0, axis=-1)
+    cont = cont & ((beta.x > 0.0) | (beta.y > 0.0) | (beta.z > 0.0))
+    return rec, sc, cont, beta, radiance
 
+
+def _bounce(scene: T.SceneData, state: PathState, depth, max_bounces) -> PathState:
+    """One wavefront bounce for every ray (dead lanes masked)."""
+    rays = ix.Rays(ro=state.ro, rd=state.rd, time=state.time, inside=state.inside)
+    keys_b = rng.fold(state.keys, depth)
+    depth_ok = depth < max_bounces
+    rec, sc, cont, beta, radiance = _shade_and_advance(
+        scene, rays, keys_b, depth_ok, state.alive, state.beta, state.radiance
+    )
     return PathState(
-        ro=jnp.where(cont[:, None], rec.p, state.ro),
-        rd=jnp.where(cont[:, None], sc.new_rd, state.rd),
+        ro=vwhere(cont, rec.p, state.ro),
+        rd=vwhere(cont, sc.new_rd, state.rd),
         time=state.time,
         inside=jnp.where(cont, sc.new_inside, state.inside),
         beta=beta,
         radiance=radiance,
         alive=cont,
         keys=state.keys,
-        rays_traced=state.rays_traced + jnp.sum(alive.astype(jnp.float32)),
+        rays_traced=state.rays_traced + jnp.sum(state.alive.astype(jnp.float32)),
     )
 
 
 def trace_paths(scene: T.SceneData, rays0: ix.Rays, keys, max_bounces: int, loop: str = "while"):
     """Integrate radiance for a batch of primary rays.
 
-    Returns (radiance (N,3), rays_traced ()). `loop='scan'` gives the
-    AD-compatible fixed-trip-count variant.
+    Returns (radiance V3, rays_traced ()). `loop='scan'` gives the
+    AD-compatible fixed-trip-count variant (with per-bounce remat).
     """
-    n = rays0.ro.shape[0]
+    n = rays0.time.shape[0]
     state = PathState(
         ro=rays0.ro,
         rd=rays0.rd,
         time=rays0.time,
         inside=rays0.inside,
-        beta=jnp.ones((n, 3)),
-        radiance=jnp.zeros((n, 3)),
+        beta=V3.fill((n,), 1.0, 1.0, 1.0),
+        radiance=V3.zeros((n,)),
         alive=jnp.ones((n,), bool),
         keys=keys,
         rays_traced=jnp.float32(0.0),
@@ -131,7 +139,7 @@ def trace_paths(scene: T.SceneData, rays0: ix.Rays, keys, max_bounces: int, loop
         # instead of keeping every per-bounce intermediate live — trades
         # FLOPs for HBM, required at 500x500 x 33 bounces
         bounce = jax.checkpoint(
-            lambda sc, s, depth: _bounce(sc, s, depth, max_bounces)
+            lambda sc_, s, depth: _bounce(sc_, s, depth, max_bounces)
         )
 
         def body(s, depth):
@@ -149,6 +157,194 @@ def trace_paths(scene: T.SceneData, rays0: ix.Rays, keys, max_bounces: int, loop
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return state.radiance, state.rays_traced
+
+
+# ---------------------------------------------------------------------------
+# Regenerating wavefront renderer (the fast forward path)
+# ---------------------------------------------------------------------------
+
+
+class WaveState(NamedTuple):
+    accum: V3  # clamped-running-average * count, per pixel
+    count: jnp.ndarray  # (N,) i32 samples completed per pixel
+    ro: V3
+    rd: V3
+    time: jnp.ndarray
+    inside: jnp.ndarray
+    beta: V3
+    radiance: V3  # per-path radiance so far
+    depth: jnp.ndarray  # (N,) i32 per-lane bounce depth
+    alive: jnp.ndarray  # (N,) bool lane is tracing a path
+    keys: jnp.ndarray
+    rays_traced: jnp.ndarray
+
+
+def _wave_bounce(scene, s: WaveState, max_bounces) -> WaveState:
+    """One wavefront step with per-lane depth (regeneration variant of
+    _bounce; same estimator semantics, SURVEY.md section 3.3)."""
+    rays = ix.Rays(ro=s.ro, rd=s.rd, time=s.time, inside=s.inside)
+    keys_b = rng.fold(s.keys, s.depth)
+    depth_ok = s.depth < max_bounces
+    rec, sc, cont, beta, radiance = _shade_and_advance(
+        scene, rays, keys_b, depth_ok, s.alive, s.beta, s.radiance
+    )
+    return s._replace(
+        ro=vwhere(cont, rec.p, s.ro),
+        rd=vwhere(cont, sc.new_rd, s.rd),
+        inside=jnp.where(cont, sc.new_inside, s.inside),
+        beta=beta,
+        radiance=radiance,
+        depth=s.depth + 1,
+        alive=cont,
+        rays_traced=s.rays_traced + jnp.sum(s.alive.astype(jnp.float32)),
+    )
+
+
+def render_wavefront_pixels(
+    scene: T.SceneData,
+    pix: jnp.ndarray,  # (N,) u32 pixel ids (one lane per pixel)
+    offsets: jnp.ndarray,  # (ns, 2) stratified subpixel offsets
+    sample_lo,  # () i32 first absolute sample index (may be traced)
+    n_samples,  # () i32 number of samples per pixel (may be traced)
+    max_lum,
+    *,
+    width: int,
+    height: int,
+    max_bounces: int,
+):
+    """Render samples [sample_lo, sample_lo+n_samples) for each listed pixel
+    with lane regeneration: when a lane's path terminates it immediately
+    folds the sample into its pixel's running average (draw2 merge + NaN
+    guard + luminance clamp, main.cpp:214-229) and restarts on its next
+    sample.
+
+    Unlike the one-pass-per-sample host loop this keeps every vector lane
+    busy (~100% occupancy instead of ~1/avg-path-length) and renders the
+    whole frame in ONE device program. Returns
+    (accum V3 = running-average*count, count (N,), rays_traced) so
+    sample-sharded callers can combine partial results.
+    """
+    n = pix.shape[0]
+    ns = n_samples
+    x = (pix % width).astype(jnp.float32)
+    y = (pix // width).astype(jnp.float32)
+
+    def camera_rays(sample_idx):
+        """sample_idx: (N,) i32 absolute sample index per lane."""
+        ci = jnp.clip(sample_idx, 0, offsets.shape[0] - 1)
+        ss = (x + offsets[ci, 0]) / width
+        tt = (y + offsets[ci, 1]) / height
+        keys = rng.ray_key(pix, sample_idx.astype(jnp.uint32))
+        rays = cam_mod.get_rays(scene.camera, ss, tt, keys)
+        return rays, keys
+
+    rays0, keys0 = camera_rays(jnp.full((n,), sample_lo, jnp.int32))
+    state = WaveState(
+        accum=V3.zeros((n,)),
+        count=jnp.zeros((n,), jnp.int32),
+        ro=rays0.ro, rd=rays0.rd, time=rays0.time, inside=rays0.inside,
+        beta=V3.fill((n,), 1.0, 1.0, 1.0),
+        radiance=V3.zeros((n,)),
+        depth=jnp.zeros((n,), jnp.int32),
+        alive=jnp.ones((n,), bool) & (jnp.asarray(ns) > 0),
+        keys=keys0,
+        rays_traced=jnp.float32(0.0),
+    )
+
+    def cond(s):
+        return jnp.any(s.alive)
+
+    def body(s):
+        s = _wave_bounce(scene, s, max_bounces)
+        finished = ~s.alive & (s.count < ns)
+        # ---- fold the finished sample into the running average ----
+        cnt_f = s.count.astype(jnp.float32)
+        has_prev = s.count > 0
+        inv_prev = 1.0 / jnp.maximum(cnt_f, 1.0)
+        prev_avg = vwhere(has_prev, s.accum * inv_prev, V3.zeros(cnt_f.shape))
+        finite = (
+            jnp.isfinite(s.radiance.x)
+            & jnp.isfinite(s.radiance.y)
+            & jnp.isfinite(s.radiance.z)
+        )
+        color = vwhere(finite, s.radiance, prev_avg)  # NaN guard
+        new_avg = vwhere(
+            has_prev,
+            prev_avg + (color - prev_avg) * (1.0 / (cnt_f + 1.0)),
+            color,
+        )
+        lum = vm.vluminance(new_avg)
+        scale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
+        new_avg = new_avg * scale
+        accum = vwhere(finished, new_avg * (cnt_f + 1.0), s.accum)
+        count = jnp.where(finished, s.count + 1, s.count)
+
+        # ---- regenerate lanes that still have samples left ----
+        regen = finished & (count < ns)
+        sample_idx = sample_lo + count
+        new_rays, new_keys = camera_rays(sample_idx)
+        return WaveState(
+            accum=accum,
+            count=count,
+            ro=vwhere(regen, new_rays.ro, s.ro),
+            rd=vwhere(regen, new_rays.rd, s.rd),
+            time=jnp.where(regen, new_rays.time, s.time),
+            inside=jnp.where(regen, new_rays.inside, s.inside),
+            beta=vwhere(regen, V3.fill(regen.shape, 1.0, 1.0, 1.0), s.beta),
+            radiance=vwhere(regen, V3.zeros(regen.shape), s.radiance),
+            depth=jnp.where(regen, 0, s.depth),
+            alive=s.alive | regen,
+            keys=jnp.where(regen, new_keys, s.keys),
+            rays_traced=s.rays_traced,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.accum, state.count, state.rays_traced
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces"))
+def _render_wavefront_jit(scene, max_lum, *, width, height, spp, max_bounces):
+    offs, ns = sample_offsets(spp)
+    pix = jnp.arange(width * height, dtype=jnp.uint32)
+    accum, count, rays = render_wavefront_pixels(
+        scene, pix, offs, jnp.int32(0), jnp.int32(ns), max_lum,
+        width=width, height=height, max_bounces=max_bounces,
+    )
+    inv = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return (accum * inv).arr, rays
+
+
+def render_wavefront(
+    scene: T.SceneData,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounces: int = 32,
+    max_lum: float = 1000.0,
+):
+    """Full-frame wavefront render in one device program.
+
+    Returns (frame (H,W,3) linear, stats). Estimator-identical to `render`
+    (same per-(pixel,sample) RNG keys, merge order, NaN and clamp policy) —
+    only the schedule differs.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    frame, rays = _render_wavefront_jit(
+        scene, jnp.float32(max_lum),
+        width=width, height=height, spp=spp, max_bounces=max_bounces,
+    )
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total = float(rays)
+    stats = {
+        "seconds": elapsed,
+        "rays": total,
+        "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": int(jnp.sqrt(spp)) ** 2,
+    }
+    return frame.reshape(height, width, 3), stats
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +377,7 @@ def sample_radiance(
     max_bounces: int,
     loop: str = "while",
 ):
-    """One radiance sample for each listed pixel. Returns ((N,3), rays ())."""
+    """One radiance sample for each listed pixel. Returns (V3, rays ())."""
     x = (pix % width).astype(jnp.float32)
     y = (pix // width).astype(jnp.float32)
     s = (x + offset[0]) / width
@@ -192,10 +388,10 @@ def sample_radiance(
 
 
 def merge_pass(frame, color, sample_idx, n_new, max_lum):
-    """Fold `n_new` fresh per-pixel sample averages (`color`) into the running
-    average `frame` that already holds `sample_idx` samples — draw2 semantics
-    (main.cpp:221-229): incremental average then luminance clamp on the
-    running average. `color` must already be NaN-guarded."""
+    """Fold `n_new` fresh per-pixel sample averages (`color`, (N,3)) into the
+    running average `frame` (N,3) that already holds `sample_idx` samples —
+    draw2 semantics (main.cpp:221-229): incremental average then luminance
+    clamp on the running average. `color` must already be NaN-guarded."""
     k = sample_idx.astype(jnp.float32)
     new_frame = jnp.where(
         sample_idx > 0,
@@ -222,10 +418,11 @@ def render_pixels(
 ):
     """One progressive pass over an arbitrary pixel subset (shard-friendly
     core). Returns (frame', rays_traced)."""
-    radiance, rays_traced = sample_radiance(
+    radiance_v, rays_traced = sample_radiance(
         scene, pix, sample_idx, offset,
         width=width, height=height, max_bounces=max_bounces, loop=loop,
     )
+    radiance = radiance_v.arr
     # NaN policy (main.cpp:214-219): non-finite -> previous pixel (or 0)
     finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
     prev = jnp.where(sample_idx > 0, frame, jnp.zeros_like(frame))

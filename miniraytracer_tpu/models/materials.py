@@ -2,7 +2,8 @@
 
 Replaces material.h's virtual dispatch with masked evaluation of all five
 material behaviors and a select by type code — on a VPU this is cheaper than
-any divergence scheme for 5 branches.
+any divergence scheme for 5 branches. All math is componentwise SoA
+(vecmath.V3): colors and directions are triples of (N,) arrays.
 
 Semantics (behavioral parity checklist, SURVEY.md section 8):
 - lambertian: cosine-lobe sample via ONB, scattering_pdf = max(cos,0)/pi
@@ -31,7 +32,10 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from miniraytracer_tpu.ops import rng, vecmath as vm
+from miniraytracer_tpu.ops import rng
+from miniraytracer_tpu.ops.vecmath import (
+    V3, vdot, vnormalize, vreflect, vrefract, vwhere, vonb_from_w, vonb_l2w,
+)
 from miniraytracer_tpu.ops.intersect import HitRecord, Rays
 from miniraytracer_tpu.models import pdfs
 from miniraytracer_tpu.models.textures import sample_texture
@@ -50,10 +54,10 @@ SLOT_FRESNEL = 17
 
 
 class Scatter(NamedTuple):
-    new_rd: jnp.ndarray  # (N,3) normalized next direction
+    new_rd: V3  # normalized next direction
     new_inside: jnp.ndarray  # (N,) i32
-    weight: jnp.ndarray  # (N,3) throughput multiplier for this bounce
-    emitted: jnp.ndarray  # (N,3) emission to add (diffuse/no-scatter only)
+    weight: V3  # throughput multiplier for this bounce
+    emitted: V3  # emission to add (diffuse/no-scatter only)
     scattered: jnp.ndarray  # (N,) bool — path continues
     add_emitted: jnp.ndarray  # (N,) bool — specular branch drops emission
 
@@ -81,24 +85,23 @@ def shade(scene: T.SceneData, rays: Rays, rec: HitRecord, keys, depth_ok) -> Sca
 
     # ---- emission (diffuse_light, one-sided) ----
     is_light = mtype == T.MAT_DIFFUSE_LIGHT
-    emitted = jnp.where(
-        (is_light & (vm.dot(n, rd) < 0.0))[:, None],
-        mparam[:, None] * albedo,
-        0.0,
+    emitted = vwhere(
+        is_light & (vdot(n, rd) < 0.0),
+        albedo * mparam,
+        V3.zeros(rec.t.shape),
     )
 
     # ---- diffuse branch (lambertian / isotropic) ----
-    is_lamb = mtype == T.MAT_LAMBERTIAN
     is_iso = mtype == T.MAT_ISOTROPIC
     u_ma = rng.uniform(keys, SLOT_MA)
     u_mb = rng.uniform(keys, SLOT_MB)
-    uo, vo, wo = vm.onb_from_w(n)
+    uo, vo, wo = vonb_from_w(n)
     cos_sampler = (
         rng.sample_cosine_direction_exact if scene.exact_cosine else rng.sample_cosine_direction
     )
-    cos_dir = vm.onb_local_to_world(uo, vo, wo, cos_sampler(u_ma, u_mb))
+    cos_dir = vonb_l2w(uo, vo, wo, cos_sampler(u_ma, u_mb))
     iso_dir = rng.sample_on_sphere(u_ma, u_mb)
-    mat_gen = jnp.where(is_iso[:, None], iso_dir, cos_dir)
+    mat_gen = vwhere(is_iso, iso_dir, cos_dir)
 
     if scene.n_lights > 0:
         # 50/50 mixture with the light-object pdf (main.cpp:87-92, pdf.h:64-80)
@@ -111,50 +114,57 @@ def shade(scene: T.SceneData, rays: Rays, rec: HitRecord, keys, depth_ok) -> Sca
             rng.uniform(keys, SLOT_LA),
             rng.uniform(keys, SLOT_LB),
         )
-        gen = jnp.where((u_mix < 0.5)[:, None], light_gen, mat_gen)
-        d = vm.normalize(gen)
+        gen = vwhere(u_mix < 0.5, light_gen, mat_gen)
+        d = vnormalize(gen)
         mat_pdf_v = jnp.where(is_iso, pdfs.isotropic_pdf_value(d), pdfs.cosine_pdf_value(n, d))
         pdf_v = 0.5 * pdfs.light_pdf_value(scene, rec.p, d, rays.time) + 0.5 * mat_pdf_v
     else:
-        d = vm.normalize(mat_gen)
+        d = vnormalize(mat_gen)
         pdf_v = jnp.where(is_iso, pdfs.isotropic_pdf_value(d), pdfs.cosine_pdf_value(n, d))
 
     scatter_pdf = jnp.where(
-        is_iso, 1.0 / (2.0 * PI), jnp.maximum(vm.dot(n, d), 0.0) / PI
+        is_iso, 1.0 / (2.0 * PI), jnp.maximum(vdot(n, d), 0.0) / PI
     )
-    safe_pdf = jnp.where(pdf_v > 0, pdf_v, 1.0)
-    diffuse_w = albedo * (scatter_pdf / safe_pdf)[:, None]
-    # pdf_v == 0 => zero contribution (matches 0/0 -> NaN -> NaN-guard killing
-    # the sample in the reference, but without poisoning the whole pixel)
-    diffuse_w = jnp.where((pdf_v > 0)[:, None], diffuse_w, 0.0)
+    # eps threshold, not >0: a denormal-tiny pdf makes 1/pdf^2 in the
+    # backward overflow to inf (and the sample a firefly anyway). pdf below
+    # eps => zero contribution (matches 0/0 -> NaN -> NaN-guard killing the
+    # sample in the reference, but without poisoning the whole pixel).
+    pdf_ok = pdf_v > 1e-12
+    safe_pdf = jnp.where(pdf_ok, pdf_v, 1.0)
+    diffuse_w = albedo * jnp.where(pdf_ok, scatter_pdf / safe_pdf, 0.0)
 
     # ---- metal ----
     is_metal = mtype == T.MAT_METAL
-    refl = vm.reflect(rd, n)
+    refl = vreflect(rd, n)
     fuzz = rng.sample_in_ball(
         rng.uniform(keys, SLOT_FUZZ),
         rng.uniform(keys, SLOT_FUZZ + 1),
         rng.uniform(keys, SLOT_FUZZ + 2),
     )
-    metal_dir = vm.normalize(refl + (1.0 - mparam)[:, None] * fuzz)
+    metal_dir = vnormalize(refl + fuzz * (1.0 - mparam))
 
     # ---- dielectric (material.h:121-176) ----
     is_diel = mtype == T.MAT_DIELECTRIC
-    ref_idx = mparam
-    cosI = -vm.dot(rd, n)
+    # masked-branch sanitization: non-dielectric rows carry mat_param == 0
+    # (gloss/scale), and 1/0 in the dead branch would poison gradients of
+    # every gathered material row via where's 0-cotangent * inf
+    ref_idx = jnp.where(is_diel, mparam, 1.5)
+    cosI = -vdot(rd, n)
     entering = cosI >= 0  # reference: cosI < 0 means backface (exiting)
-    facing_n = jnp.where(entering[:, None], n, -n)
+    facing_n = vwhere(entering, n, -n)
     ni_over_nt = jnp.where(entering, 1.0 / ref_idx, ref_idx)
-    refracted, can_refract = vm.refract(rd, facing_n, ni_over_nt)
+    refracted, can_refract = vrefract(rd, facing_n, ni_over_nt)
+    cs_arg = jnp.clip(1.0 - ni_over_nt * ni_over_nt * (1.0 - cosI * cosI), 0.0, 1.0)
+    cs_ok = cs_arg > 1e-12  # eps margin: sqrt backward overflows below it
     cos_schlick = jnp.where(
         entering,
         cosI,
-        jnp.sqrt(jnp.clip(1.0 - ni_over_nt * ni_over_nt * (1.0 - cosI * cosI), 0.0, 1.0)),
+        jnp.where(cs_ok, jnp.sqrt(jnp.where(cs_ok, cs_arg, 1.0)), 0.0),
     )
     reflect_prob = jnp.where(can_refract, fresnel_schlick(cos_schlick, ref_idx), 1.0)
     u_fr = rng.uniform(keys, SLOT_FRESNEL)
     do_reflect = u_fr < reflect_prob
-    diel_dir = jnp.where(do_reflect[:, None], vm.normalize(refl), vm.normalize(refracted))
+    diel_dir = vwhere(do_reflect, vnormalize(refl), vnormalize(refracted))
     # nested volume counter (material.h:158-173); reflect keeps it
     inside_after_refract = jnp.where(
         entering, rays.inside + 1, jnp.maximum(rays.inside - 1, 0)
@@ -163,16 +173,11 @@ def shade(scene: T.SceneData, rays: Rays, rec: HitRecord, keys, depth_ok) -> Sca
 
     # ---- combine by type ----
     is_specular = is_metal | is_diel
-    new_rd = jnp.where(
-        is_metal[:, None], metal_dir, jnp.where(is_diel[:, None], diel_dir, d)
-    )
+    new_rd = vwhere(is_metal, metal_dir, vwhere(is_diel, diel_dir, d))
     # reference resets isInside on metal & diffuse rays (ray ctor default)
     new_inside = jnp.where(is_diel, diel_inside, 0)
-    weight = jnp.where(
-        is_diel[:, None],
-        jnp.ones_like(albedo),
-        jnp.where(is_specular[:, None], albedo, diffuse_w),
-    )
+    ones = V3.fill(rec.t.shape, 1.0, 1.0, 1.0)
+    weight = vwhere(is_diel, ones, vwhere(is_specular, albedo, diffuse_w))
     scattered = depth_ok & ~is_light  # lights never scatter (material.h:195)
     # specular branch drops emission (main.cpp:81-83); non-scatter keeps it
     add_emitted = ~(scattered & is_specular)

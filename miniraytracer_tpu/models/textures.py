@@ -3,7 +3,8 @@
 Tagged-dispatch equivalent of texture.h's virtual `sample(u, v, p)`:
 all texture kinds are evaluated batched and masked-selected by type code.
 Kinds not present in a scene are pruned statically (SceneData meta flags)
-so e.g. Cornell never pays for Perlin gathers.
+so e.g. Cornell never pays for Perlin gathers. Everything is componentwise
+SoA (vecmath.V3) — colors and points are triples of (N,) arrays.
 
 Formulas follow the reference exactly:
 - checker: sin(s*x)*sin(s*y)*sin(s*z) < 0 -> odd else even (texture.cpp:7-14)
@@ -18,39 +19,46 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from miniraytracer_tpu.ops.vecmath import V3, vwhere
 from miniraytracer_tpu.scene import types as T
 
 
-def perlin_noise(scene: T.SceneData, p: jnp.ndarray) -> jnp.ndarray:
-    """Gradient Perlin noise at points p (N,3) -> (N,). texture.cpp:118-152."""
-    pf = jnp.floor(p)
-    uvw = p - pf  # fractional part
-    ijk = pf.astype(jnp.int32)
-    # hermite cubic smoothing (texture.cpp:70-71)
-    uvw_h = uvw * uvw * (3.0 - 2.0 * uvw)
+def perlin_noise(scene: T.SceneData, p: V3) -> jnp.ndarray:
+    """Gradient Perlin noise at points p -> (N,). texture.cpp:118-152."""
+    gx, gy, gz = scene.perlin_vec[:, 0], scene.perlin_vec[:, 1], scene.perlin_vec[:, 2]
 
-    acc = jnp.zeros(p.shape[:-1], p.dtype)
+    def prep(c):
+        pf = jnp.floor(c)
+        frac = c - pf
+        h = frac * frac * (3.0 - 2.0 * frac)  # hermite (texture.cpp:70-71)
+        return pf.astype(jnp.int32), frac, h
+
+    ix, fx, hx = prep(p.x)
+    iy, fy, hy = prep(p.y)
+    iz, fz, hz = prep(p.z)
+
+    acc = jnp.zeros_like(p.x)
     for di in (0, 1):
-        xi = scene.perlin_px[(ijk[..., 0] + di) & 255]
-        ax = jnp.where(di == 1, uvw_h[..., 0], 1.0 - uvw_h[..., 0])
-        wx = uvw[..., 0] - di
+        xi = scene.perlin_px[(ix + di) & 255]
+        ax = hx if di == 1 else 1.0 - hx
+        wx = fx - di
         for dj in (0, 1):
-            yi = scene.perlin_py[(ijk[..., 1] + dj) & 255]
-            ay = jnp.where(dj == 1, uvw_h[..., 1], 1.0 - uvw_h[..., 1])
-            wy = uvw[..., 1] - dj
+            yi = scene.perlin_py[(iy + dj) & 255]
+            ay = hy if dj == 1 else 1.0 - hy
+            wy = fy - dj
             for dk in (0, 1):
-                zi = scene.perlin_pz[(ijk[..., 2] + dk) & 255]
-                az = jnp.where(dk == 1, uvw_h[..., 2], 1.0 - uvw_h[..., 2])
-                wz = uvw[..., 2] - dk
-                grad = scene.perlin_vec[xi ^ yi ^ zi]  # (N,3)
-                d = grad[..., 0] * wx + grad[..., 1] * wy + grad[..., 2] * wz
+                zi = scene.perlin_pz[(iz + dk) & 255]
+                az = hz if dk == 1 else 1.0 - hz
+                wz = fz - dk
+                gi = xi ^ yi ^ zi
+                d = gx[gi] * wx + gy[gi] * wy + gz[gi] * wz
                 acc = acc + ax * ay * az * d
     return acc
 
 
-def perlin_turbulence(scene: T.SceneData, p: jnp.ndarray, depth: int = 7) -> jnp.ndarray:
+def perlin_turbulence(scene: T.SceneData, p: V3, depth: int = 7) -> jnp.ndarray:
     """7-octave |sum w_i * noise(2^i p)| (texture.cpp:155-165)."""
-    acc = jnp.zeros(p.shape[:-1], p.dtype)
+    acc = jnp.zeros_like(p.x)
     weight = 1.0
     pc = p
     for _ in range(depth):
@@ -60,38 +68,41 @@ def perlin_turbulence(scene: T.SceneData, p: jnp.ndarray, depth: int = 7) -> jnp
     return jnp.abs(acc)
 
 
-def image_sample(scene: T.SceneData, img_id, hw, u, v) -> jnp.ndarray:
-    """Nearest-neighbor, clamped, v-flipped (texture.cpp:207-225)."""
-    h = hw[..., 0].astype(jnp.int32)
-    w = hw[..., 1].astype(jnp.int32)
-    i = jnp.clip((u * w.astype(u.dtype)).astype(jnp.int32), 0, w - 1)
-    j = jnp.clip(((1.0 - v) * h.astype(v.dtype)).astype(jnp.int32), 0, h - 1)
-    return scene.images[img_id, j, i]  # (N,3)
+def image_sample(scene: T.SceneData, img_id, h, w, u, v) -> V3:
+    """Nearest-neighbor, clamped, v-flipped (texture.cpp:207-225).
+    h, w are float arrays (stashed in tex_c1 by the builder)."""
+    hi = h.astype(jnp.int32)
+    wi = w.astype(jnp.int32)
+    i = jnp.clip((u * w).astype(jnp.int32), 0, wi - 1)
+    j = jnp.clip(((1.0 - v) * h).astype(jnp.int32), 0, hi - 1)
+    return V3(
+        scene.images[img_id, j, i, 0],
+        scene.images[img_id, j, i, 1],
+        scene.images[img_id, j, i, 2],
+    )
 
 
-def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p) -> jnp.ndarray:
-    """Batched texture::sample for per-ray texture ids (N,) -> (N,3)."""
+def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3) -> V3:
+    """Batched texture::sample for per-ray texture ids (N,) -> V3 color."""
     ttype = scene.tex_type[tex_id]
-    c0 = scene.tex_c0[tex_id]
-    c1 = scene.tex_c1[tex_id]
+    c0 = V3(scene.tex_c0[tex_id, 0], scene.tex_c0[tex_id, 1], scene.tex_c0[tex_id, 2])
+    c1 = V3(scene.tex_c1[tex_id, 0], scene.tex_c1[tex_id, 1], scene.tex_c1[tex_id, 2])
     scale = scene.tex_scale[tex_id]
 
     out = c0  # TEX_CONST
 
     # checker (sine product in world space)
-    sp = scale[:, None] * p
-    sines = jnp.sin(sp[:, 0]) * jnp.sin(sp[:, 1]) * jnp.sin(sp[:, 2])
-    checker = jnp.where((sines < 0)[:, None], c1, c0)
-    out = jnp.where((ttype == T.TEX_CHECKER)[:, None], checker, out)
+    sines = jnp.sin(scale * p.x) * jnp.sin(scale * p.y) * jnp.sin(scale * p.z)
+    out = vwhere((ttype == T.TEX_CHECKER) & (sines < 0), c1, out)
 
     if scene.has_perlin:
-        turb = perlin_turbulence(scene, scale[:, None] * p)
-        out = jnp.where((ttype == T.TEX_PERLIN)[:, None], turb[:, None] * jnp.ones(3, p.dtype), out)
+        turb = perlin_turbulence(scene, p * scale)
+        out = vwhere(ttype == T.TEX_PERLIN, V3(turb, turb, turb), out)
 
     if scene.has_image:
         img_id = scene.tex_img[tex_id]
-        hw = c1[:, :2]  # builder stashes (h, w) in tex_c1 for image textures
-        img = image_sample(scene, img_id, hw, u, v)
-        out = jnp.where((ttype == T.TEX_IMAGE)[:, None], img, out)
+        # builder stashes (h, w) in tex_c1 for image textures
+        img = image_sample(scene, img_id, c1.x, c1.y, u, v)
+        out = vwhere(ttype == T.TEX_IMAGE, img, out)
 
     return out

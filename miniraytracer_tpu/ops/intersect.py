@@ -2,7 +2,7 @@
 
 The reference dispatches `scene_object::hit` virtually per object
 (scene_object.h:20-31). Here each primitive *type* is intersected as one
-batched kernel over `(rays, prims)` — regular, branch-free VPU work — and the
+batched kernel over `(prims, rays)` — regular, branch-free VPU work — and the
 per-type minima are combined by masked selects. Type-level formulas:
 
 - spheres:   sphere.cpp:13-46 (front root; back root only when ray.isInside;
@@ -14,8 +14,13 @@ per-type minima are combined by masked selects. Type-level formulas:
 - volumes:   volumes.cpp:5-36 boundary double-hit + exponential free path;
              boundary entry/exit computed analytically (double-sided)
 
-Two-phase design: phase 1 reduces min-t + argmin over prims (chunked `scan`
-so (N_rays, N_prims) intermediates stay bounded); phase 2 gathers the winning
+Layout: everything is structure-of-arrays (vecmath.V3). Candidate grids are
+(C, N) — prims on the major (sublane) axis, rays on the 128-wide lane axis —
+so lane utilization is full for any chunk size. Scene tables stay (K, 3) on
+the host side; component columns are sliced once per kernel (K-sized, cheap).
+
+Two-phase design: phase 1 reduces min-t + argmin over prims (chunked so
+(CHUNK, N) intermediates stay bounded); phase 2 gathers the winning
 primitive's parameters and reconstructs the full hit record (p, n, u, v, mat)
 — only O(rays) work.
 """
@@ -24,21 +29,21 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from miniraytracer_tpu.ops import vecmath as vm
+from miniraytracer_tpu.ops.vecmath import V3, vdot, vsdot, vnormalize, vwhere
 from miniraytracer_tpu.scene import types as T
 
 INF = jnp.float32(3.0e38)
 TMIN = 0.001  # main.cpp:71
 TRI_EPS = 1e-5  # triangle.cpp:220
-CHUNK = 512  # max prims per reduction step; bounds (N_rays, CHUNK) temporaries
+CHUNK = 512  # max prims per reduction step; bounds (CHUNK, N) temporaries
 
 
 class Rays(NamedTuple):
-    ro: jnp.ndarray  # (N,3) origin
-    rd: jnp.ndarray  # (N,3) direction, normalized
+    ro: V3  # (N,) components — origin
+    rd: V3  # direction, normalized
     time: jnp.ndarray  # (N,)
     inside: jnp.ndarray  # (N,) int32 nested-dielectric counter (ray.h:14-15)
 
@@ -52,32 +57,40 @@ class Hit(NamedTuple):
 
 class HitRecord(NamedTuple):
     t: jnp.ndarray
-    p: jnp.ndarray  # (N,3)
-    n: jnp.ndarray  # (N,3)
+    p: V3
+    n: V3
     u: jnp.ndarray  # (N,)
     v: jnp.ndarray  # (N,)
     mat: jnp.ndarray  # (N,) i32
     hit: jnp.ndarray  # (N,) bool
 
 
+def _vcol(table, start=None, count=None) -> V3:
+    """V3 of the three component columns of an (K,3) table."""
+    if start is None:
+        return V3(table[:, 0], table[:, 1], table[:, 2])
+    s = slice(start, start + count)
+    return V3(table[s, 0], table[s, 1], table[s, 2])
+
+
 def _chunked_min(t_fn, n_prims: int, n_rays: int):
     """Reduce (min t, argmin idx) over prims in CHUNK-sized pieces.
 
-    `t_fn(start, count)` -> (N, count) candidate t values (INF = miss).
+    `t_fn(start, count)` -> (count, N) candidate t values (INF = miss).
     Static python loop over chunks (few, unrolled into the XLA graph) keeps
-    peak memory at O(N * CHUNK) while letting XLA fuse each chunk's
+    peak memory at O(CHUNK * N) while letting XLA fuse each chunk's
     elementwise work directly into the reduction.
     """
     best_t = jnp.full((n_rays,), INF)
     best_i = jnp.zeros((n_rays,), jnp.int32)
     for start in range(0, n_prims, CHUNK):
         count = min(CHUNK, n_prims - start)
-        tc = t_fn(start, count)  # (N, count)
-        i = jnp.argmin(tc, axis=1)
-        tmin_c = jnp.take_along_axis(tc, i[:, None], axis=1)[:, 0]
+        tc = t_fn(start, count)  # (count, N)
+        i = jnp.argmin(tc, axis=0).astype(jnp.int32)
+        tmin_c = jnp.min(tc, axis=0)
         better = tmin_c < best_t
         best_t = jnp.where(better, tmin_c, best_t)
-        best_i = jnp.where(better, i.astype(jnp.int32) + start, best_i)
+        best_i = jnp.where(better, i + start, best_i)
     return best_t, best_i
 
 
@@ -86,36 +99,58 @@ def _chunked_min(t_fn, n_prims: int, n_rays: int):
 # ---------------------------------------------------------------------------
 
 
-def _sphere_center(scene: T.SceneData, idx, time):
-    """Lerped moving center (sphere.h:24-31); idx/time broadcast together."""
-    c0 = scene.sph_c0[idx]
-    c1 = scene.sph_c1[idx]
+def _sphere_center_cols(scene: T.SceneData, s: slice, time):
+    """(C, N) center components for spheres in slice `s` at ray times `time`
+    (N,). Lerped moving center (sphere.h:24-31)."""
+    c0 = V3(scene.sph_c0[s, 0], scene.sph_c0[s, 1], scene.sph_c0[s, 2])
+    c1 = V3(scene.sph_c1[s, 0], scene.sph_c1[s, 1], scene.sph_c1[s, 2])
+    t0 = scene.sph_t0[s]
+    t1 = scene.sph_t1[s]
+    mov = scene.sph_moving[s]
+    denom = jnp.where(mov > 0, t1 - t0, 1.0)
+    # f: (C, N)
+    f = jnp.where(mov[:, None] > 0, (time[None, :] - t0[:, None]) / denom[:, None], 0.0)
+    return V3(
+        c0.x[:, None] + f * (c1.x - c0.x)[:, None],
+        c0.y[:, None] + f * (c1.y - c0.y)[:, None],
+        c0.z[:, None] + f * (c1.z - c0.z)[:, None],
+    )
+
+
+def _sphere_center_at(scene: T.SceneData, idx, time) -> V3:
+    """(N,) center components for per-ray sphere rows `idx` (gather form)."""
+    c0 = V3(scene.sph_c0[idx, 0], scene.sph_c0[idx, 1], scene.sph_c0[idx, 2])
+    c1 = V3(scene.sph_c1[idx, 0], scene.sph_c1[idx, 1], scene.sph_c1[idx, 2])
     t0 = scene.sph_t0[idx]
     t1 = scene.sph_t1[idx]
     mov = scene.sph_moving[idx]
     denom = jnp.where(mov > 0, t1 - t0, 1.0)
     f = jnp.where(mov > 0, (time - t0) / denom, 0.0)
-    return c0 + f[..., None] * (c1 - c0)
+    return c0 + (c1 - c0) * f
 
 
 def sphere_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
-    """(N, count) candidate t's for spheres [start, start+count)."""
-    idx = jnp.arange(start, start + count)
-    cen = _sphere_center(scene, idx[None, :], rays.time[:, None])  # (N,C,3)
-    oc = rays.ro[:, None, :] - cen
-    b = vm.dot(oc, rays.rd[:, None, :])
-    r = scene.sph_radius[idx]
-    c = vm.sdot(oc) - r * r
+    """(count, N) candidate t's for spheres [start, start+count)."""
+    s = slice(start, start + count)
+    cen = _sphere_center_cols(scene, s, rays.time)  # (C,N) comps
+    ocx = rays.ro.x[None, :] - cen.x
+    ocy = rays.ro.y[None, :] - cen.y
+    ocz = rays.ro.z[None, :] - cen.z
+    b = ocx * rays.rd.x[None, :] + ocy * rays.rd.y[None, :] + ocz * rays.rd.z[None, :]
+    r = scene.sph_radius[s]
+    c = ocx * ocx + ocy * ocy + ocz * ocz - (r * r)[:, None]
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: sqrt's backward is inf at 0, and 0-cotangent * inf = NaN
+    # — masked lanes must never see a non-positive sqrt argument
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
     t_front = -b - sq
     t_back = -b + sq
-    ok = (disc > 0) & scene.sph_active[idx][None, :]
-    front_ok = ok & (t_front < tmax[:, None]) & (t_front > tmin)
+    ok = (disc > 0) & scene.sph_active[s][:, None]
+    front_ok = ok & (t_front < tmax[None, :]) & (t_front > tmin)
     back_ok = (
         ok
-        & (rays.inside[:, None] > 0)
-        & (t_back < tmax[:, None])
+        & (rays.inside[None, :] > 0)
+        & (t_back < tmax[None, :])
         & (t_back > tmin)
     )
     return jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
@@ -123,12 +158,28 @@ def sphere_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
 
 def sphere_record(scene: T.SceneData, rays: Rays, t, idx):
     """Hit record for sphere `idx` at parameter `t` (sphere.cpp:22-45)."""
-    cen = _sphere_center(scene, idx, rays.time)
-    p = rays.ro + t[:, None] * rays.rd
-    n = (p - cen) / scene.sph_radius[idx][:, None]  # negative radius flips
-    # spherical uv on the normal (sphere.cpp:6-11)
-    phi = jnp.arctan2(n[:, 2], n[:, 0])
-    theta = jnp.arcsin(jnp.clip(n[:, 1], -1.0, 1.0))
+    cen = _sphere_center_at(scene, idx, rays.time)
+    p = rays.ro + rays.rd * t
+    rad = scene.sph_radius[idx]
+    # padded/inactive rows carry radius 0 — inf here becomes NaN through the
+    # downstream normalize and masked selects can't scrub NaN cotangents
+    rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
+    n = (p - cen) / rad  # negative radius flips normal
+    # for true hits |p-cen| == |radius| so this is an exact no-op (and keeps
+    # the hollow-sphere sign flip); for masked lanes (caller selects by type)
+    # it bounds the garbage magnitude so downstream masked branches can't
+    # overflow to inf and poison gradients under fusion
+    n = vnormalize(n)
+    # spherical uv on the normal (sphere.cpp:6-11); arcsin's backward is inf
+    # at |y|=1 (poles) — double-where keeps the forward exact and grads finite
+    phi = jnp.arctan2(n.z, n.x)
+    ny = jnp.clip(n.y, -1.0, 1.0)
+    at_pole = jnp.abs(ny) >= 1.0
+    theta = jnp.where(
+        at_pole,
+        jnp.sign(ny) * (jnp.pi / 2),
+        jnp.arcsin(jnp.where(at_pole, 0.0, ny)),
+    )
     u = 0.5 - phi / (2.0 * jnp.pi)
     v = 0.5 + theta / jnp.pi
     return p, n, u, v, scene.sph_mat[idx]
@@ -140,39 +191,60 @@ def sphere_record(scene: T.SceneData, rays: Rays, t, idx):
 
 
 def rect_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
-    idx = jnp.arange(start, start + count)
-    ek = scene.rect_ek[idx]  # (C,3)
-    sign = scene.rect_sign[idx]
+    s = slice(start, start + count)
+    ek = _vcol(scene.rect_ek, start, count)
+    ei = _vcol(scene.rect_ei, start, count)
+    ej = _vcol(scene.rect_ej, start, count)
+    sign = scene.rect_sign[s]
+
+    def proj(e: V3):  # (C, N): per-prim-axis component of a per-ray vector
+        return (
+            e.x[:, None] * rays.rd.x[None, :]
+            + e.y[:, None] * rays.rd.y[None, :]
+            + e.z[:, None] * rays.rd.z[None, :]
+        )
+
+    def projo(e: V3):
+        return (
+            e.x[:, None] * rays.ro.x[None, :]
+            + e.y[:, None] * rays.ro.y[None, :]
+            + e.z[:, None] * rays.ro.z[None, :]
+        )
+
+    dk = proj(ek)
     # one-sided: reject dot(dir, n) > 0 (rect.cpp:26-27)
-    dk = rays.rd @ ek.T  # (N,C) dir component along fixed axis
-    facing = dk * sign[None, :] <= 0.0
-    ok = rays.ro @ ek.T  # origin component along fixed axis
-    t = (scene.rect_k[idx][None, :] - ok) / dk
-    ii = rays.ro @ scene.rect_ei[idx].T + t * (rays.rd @ scene.rect_ei[idx].T)
-    jj = rays.ro @ scene.rect_ej[idx].T + t * (rays.rd @ scene.rect_ej[idx].T)
+    facing = dk * sign[:, None] <= 0.0
+    ok_o = projo(ek)
+    dk_safe = jnp.where(jnp.abs(dk) > 1e-30, dk, 1e-30)  # NaN-free backward
+    t = (scene.rect_k[s][:, None] - ok_o) / dk_safe
+    ii = projo(ei) + t * proj(ei)
+    jj = projo(ej) + t * proj(ej)
     inb = (
-        (ii >= scene.rect_i0[idx][None, :])
-        & (ii <= scene.rect_i1[idx][None, :])
-        & (jj >= scene.rect_j0[idx][None, :])
-        & (jj <= scene.rect_j1[idx][None, :])
+        (ii >= scene.rect_i0[s][:, None])
+        & (ii <= scene.rect_i1[s][:, None])
+        & (jj >= scene.rect_j0[s][:, None])
+        & (jj <= scene.rect_j1[s][:, None])
     )
     valid = (
         facing
         & (t >= tmin)
-        & (t <= tmax[:, None])
+        & (t <= tmax[None, :])
         & inb
-        & scene.rect_active[idx][None, :]
+        & scene.rect_active[s][:, None]
     )
     return jnp.where(valid, t, INF)
 
 
 def rect_record(scene: T.SceneData, rays: Rays, t, idx):
-    p = rays.ro + t[:, None] * rays.rd
-    ii = vm.dot(p, scene.rect_ei[idx])
-    jj = vm.dot(p, scene.rect_ej[idx])
+    p = rays.ro + rays.rd * t
+    ei = V3(scene.rect_ei[idx, 0], scene.rect_ei[idx, 1], scene.rect_ei[idx, 2])
+    ej = V3(scene.rect_ej[idx, 0], scene.rect_ej[idx, 1], scene.rect_ej[idx, 2])
+    ek = V3(scene.rect_ek[idx, 0], scene.rect_ek[idx, 1], scene.rect_ek[idx, 2])
+    ii = vdot(p, ei)
+    jj = vdot(p, ej)
     u = (ii - scene.rect_i0[idx]) / (scene.rect_i1[idx] - scene.rect_i0[idx])
     v = (jj - scene.rect_j0[idx]) / (scene.rect_j1[idx] - scene.rect_j0[idx])
-    n = scene.rect_ek[idx] * scene.rect_sign[idx][:, None]
+    n = ek * scene.rect_sign[idx]
     return p, n, u, v, scene.rect_mat[idx]
 
 
@@ -182,22 +254,30 @@ def rect_record(scene: T.SceneData, rays: Rays, t, idx):
 
 
 def tri_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
-    idx = jnp.arange(start, start + count)
-    m = scene.tri_m[idx]  # (C,3)
-    u = scene.tri_u[idx]
-    v = scene.tri_v[idx]
-    pvec = jnp.cross(rays.rd[:, None, :], v[None, :, :])  # (N,C,3)
-    det = vm.dot(u[None, :, :], pvec)  # (N,C)
-    sign = jnp.where(
-        (rays.inside[:, None] > 0) & (det < 0.0), -1.0, 1.0
-    )  # hit backfaces only when inside (triangle.cpp:226-235)
+    s = slice(start, start + count)
+    m = _vcol(scene.tri_m, start, count)
+    u = _vcol(scene.tri_u, start, count)
+    v = _vcol(scene.tri_v, start, count)
+    rdx, rdy, rdz = rays.rd.x[None, :], rays.rd.y[None, :], rays.rd.z[None, :]
+    # pvec = cross(rd, v): (C, N) planes, componentwise
+    px = rdy * v.z[:, None] - rdz * v.y[:, None]
+    py = rdz * v.x[:, None] - rdx * v.z[:, None]
+    pz = rdx * v.y[:, None] - rdy * v.x[:, None]
+    det = u.x[:, None] * px + u.y[:, None] * py + u.z[:, None] * pz
+    # hit backfaces only when inside (triangle.cpp:226-235)
+    sign = jnp.where((rays.inside[None, :] > 0) & (det < 0.0), -1.0, 1.0)
     det = det * sign
-    tvec = rays.ro[:, None, :] - m[None, :, :]
-    uu = vm.dot(tvec, pvec) * sign
-    qvec = jnp.cross(tvec, u[None, :, :])
-    vv = vm.dot(rays.rd[:, None, :], qvec) * sign
+    tx = rays.ro.x[None, :] - m.x[:, None]
+    ty = rays.ro.y[None, :] - m.y[:, None]
+    tz = rays.ro.z[None, :] - m.z[:, None]
+    uu = (tx * px + ty * py + tz * pz) * sign
+    # qvec = cross(tvec, u)
+    qx = ty * u.z[:, None] - tz * u.y[:, None]
+    qy = tz * u.x[:, None] - tx * u.z[:, None]
+    qz = tx * u.y[:, None] - ty * u.x[:, None]
+    vv = (rdx * qx + rdy * qy + rdz * qz) * sign
     safe_det = jnp.where(det > TRI_EPS, det, 1.0)
-    t = vm.dot(v[None, :, :], qvec) / safe_det * sign
+    t = (v.x[:, None] * qx + v.y[:, None] * qy + v.z[:, None] * qz) / safe_det * sign
     valid = (
         (det >= TRI_EPS)
         & (uu >= 0)
@@ -205,34 +285,35 @@ def tri_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
         & (vv >= 0)
         & (uu + vv <= det)
         & (t >= tmin)
-        & (t <= tmax[:, None])
-        & scene.tri_active[idx][None, :]
+        & (t <= tmax[None, :])
+        & scene.tri_active[s][:, None]
     )
     return jnp.where(valid, t, INF)
 
 
 def tri_record(scene: T.SceneData, rays: Rays, t, idx):
-    m = scene.tri_m[idx]
-    u = scene.tri_u[idx]
-    v = scene.tri_v[idx]
-    pvec = jnp.cross(rays.rd, v)
-    det = vm.dot(u, pvec)
+    m = V3(scene.tri_m[idx, 0], scene.tri_m[idx, 1], scene.tri_m[idx, 2])
+    u = V3(scene.tri_u[idx, 0], scene.tri_u[idx, 1], scene.tri_u[idx, 2])
+    v = V3(scene.tri_v[idx, 0], scene.tri_v[idx, 1], scene.tri_v[idx, 2])
+    pvec = vm.vcross(rays.rd, v)
+    det = vdot(u, pvec)
     sign = jnp.where((rays.inside > 0) & (det < 0.0), -1.0, 1.0)
     det = det * sign
     tvec = rays.ro - m
-    uu = vm.dot(tvec, pvec) * sign
-    qvec = jnp.cross(tvec, u)
-    vv = vm.dot(rays.rd, qvec) * sign
-    inv = 1.0 / jnp.where(jnp.abs(det) > 0, det, 1.0)
+    uu = vdot(tvec, pvec) * sign
+    qvec = vm.vcross(tvec, u)
+    vv = vdot(rays.rd, qvec) * sign
+    # TRI_EPS guard (not just != 0): masked lanes can carry near-zero dets
+    # whose 1/det overflows and poisons gradients (true hits have det > eps)
+    inv = 1.0 / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
     uu = uu * inv
     vv = vv * inv
-    p = rays.ro + t[:, None] * rays.rd
+    p = rays.ro + rays.rd * t
+    mn = V3(scene.tri_mn[idx, 0], scene.tri_mn[idx, 1], scene.tri_mn[idx, 2])
+    un = V3(scene.tri_un[idx, 0], scene.tri_un[idx, 1], scene.tri_un[idx, 2])
+    vn = V3(scene.tri_vn[idx, 0], scene.tri_vn[idx, 1], scene.tri_vn[idx, 2])
     # smooth normal interpolation, normalized (triangle.cpp:261)
-    n = vm.normalize(
-        scene.tri_mn[idx] * (1.0 - uu - vv)[:, None]
-        + scene.tri_un[idx] * uu[:, None]
-        + scene.tri_vn[idx] * vv[:, None]
-    )
+    n = vnormalize(mn * (1.0 - uu - vv) + un * uu + vn * vv)
     return p, n, uu, vv, scene.tri_mat[idx]
 
 
@@ -249,37 +330,41 @@ def _volume_entry_exit(scene: T.SceneData, rays: Rays, vi: int):
     btype = scene.vol_btype[vi]
 
     # sphere boundary
-    cen, rad = bp[0:3], bp[3]
+    cen = V3(bp[0], bp[1], bp[2])
+    rad = bp[3]
     oc = rays.ro - cen
-    b = vm.dot(oc, rays.rd)
-    c = vm.sdot(oc) - rad * rad
+    b = vdot(oc, rays.rd)
+    c = vsdot(oc) - rad * rad
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))  # double-where (see sphere_ts)
     s_enter, s_exit, s_ok = -b - sq, -b + sq, disc > 0
 
     # rotY+translate box boundary: ray -> local frame (scene_object.cpp:71-81)
-    bmin = bp[0:3]
-    bmax = bp[3:6]
+    bmin = V3(bp[0], bp[1], bp[2])
+    bmax = V3(bp[3], bp[4], bp[5])
     sin_t, cos_t = bp[6], bp[7]
-    off = bp[8:11]
+    off = V3(bp[8], bp[9], bp[10])
     ro = rays.ro - off
-    lo = jnp.stack(
-        [cos_t * ro[:, 0] - sin_t * ro[:, 2], ro[:, 1], cos_t * ro[:, 2] + sin_t * ro[:, 0]],
-        axis=-1,
+    lo = V3(cos_t * ro.x - sin_t * ro.z, ro.y, cos_t * ro.z + sin_t * ro.x)
+    ld = V3(
+        cos_t * rays.rd.x - sin_t * rays.rd.z,
+        rays.rd.y,
+        cos_t * rays.rd.z + sin_t * rays.rd.x,
     )
-    ld = jnp.stack(
-        [
-            cos_t * rays.rd[:, 0] - sin_t * rays.rd[:, 2],
-            rays.rd[:, 1],
-            cos_t * rays.rd[:, 2] + sin_t * rays.rd[:, 0],
-        ],
-        axis=-1,
-    )
-    inv = 1.0 / jnp.where(jnp.abs(ld) > 1e-12, ld, jnp.where(ld >= 0, 1e-12, -1e-12))
-    ta = (bmin - lo) * inv
-    tb = (bmax - lo) * inv
-    b_enter = jnp.max(jnp.minimum(ta, tb), axis=-1)
-    b_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+
+    def axis_slab(lo_c, ld_c, mn, mx):
+        inv = 1.0 / jnp.where(
+            jnp.abs(ld_c) > 1e-12, ld_c, jnp.where(ld_c >= 0, 1e-12, -1e-12)
+        )
+        ta = (mn - lo_c) * inv
+        tb = (mx - lo_c) * inv
+        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+    ax0, ax1 = axis_slab(lo.x, ld.x, bmin.x, bmax.x)
+    ay0, ay1 = axis_slab(lo.y, ld.y, bmin.y, bmax.y)
+    az0, az1 = axis_slab(lo.z, ld.z, bmin.z, bmax.z)
+    b_enter = jnp.maximum(jnp.maximum(ax0, ay0), az0)
+    b_exit = jnp.minimum(jnp.minimum(ax1, ay1), az1)
     b_ok = b_enter < b_exit
 
     is_sph = btype == T.VOLB_SPHERE
@@ -293,7 +378,7 @@ def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
     """Best volume scatter (t, idx) given per-(ray,volume) uniforms
     u_volume (N, V). Mirrors volumes.cpp:5-36 with the surface-closest-hit as
     tmax (the reference's running closest_so_far with volumes last in list)."""
-    n = rays.ro.shape[0]
+    n = rays.time.shape[0]
     best_t = jnp.full((n,), INF)
     best_i = jnp.zeros((n,), jnp.int32)
     for vi in range(scene.n_volumes):
@@ -323,7 +408,7 @@ def scene_hit(scene: T.SceneData, rays: Rays, u_volume=None, tmin=TMIN) -> HitRe
     `u_volume` (N, n_volumes) uniforms drive volume free-path sampling; pass
     None for scenes without volumes (or to skip volume scattering).
     """
-    n = rays.ro.shape[0]
+    n = rays.time.shape[0]
     tmax0 = jnp.full((n,), INF)
 
     t_s, i_s = _chunked_min(
@@ -362,26 +447,38 @@ def scene_hit(scene: T.SceneData, rays: Rays, u_volume=None, tmin=TMIN) -> HitRe
     safe_idx = jnp.where(hit, pidx, 0)
 
     # phase 2: reconstruct record for the winner of each type, select by tag
-    p_s, n_s, u_s, v_s, m_s = sphere_record(scene, rays, safe_t, jnp.where(ptype == T.PRIM_SPHERE, safe_idx, 0))
-    p_r, n_r, u_r, v_r, m_r = rect_record(scene, rays, safe_t, jnp.where(ptype == T.PRIM_RECT, safe_idx, 0))
-    p_t3, n_t3, u_t3, v_t3, m_t3 = tri_record(scene, rays, safe_t, jnp.where(ptype == T.PRIM_TRI, safe_idx, 0))
+    is_s = ptype == T.PRIM_SPHERE
+    is_r = ptype == T.PRIM_RECT
+    is_t = ptype == T.PRIM_TRI
+    p_s, n_s, u_s, v_s, m_s = sphere_record(scene, rays, safe_t, jnp.where(is_s, safe_idx, 0))
+    p_r, n_r, u_r, v_r, m_r = rect_record(scene, rays, safe_t, jnp.where(is_r, safe_idx, 0))
+    p_t3, n_t3, u_t3, v_t3, m_t3 = tri_record(scene, rays, safe_t, jnp.where(is_t, safe_idx, 0))
 
-    p = rays.ro + safe_t[:, None] * rays.rd
-    is_s = (ptype == T.PRIM_SPHERE)[:, None]
-    is_r = (ptype == T.PRIM_RECT)[:, None]
-    is_t = (ptype == T.PRIM_TRI)[:, None]
-    nrm = jnp.where(
-        is_s, n_s, jnp.where(is_r, n_r, jnp.where(is_t, n_t3, jnp.array([1.0, 0.0, 0.0])))
-    )  # volume normal arbitrary (volumes.cpp:29)
-    uu = jnp.where(ptype == T.PRIM_SPHERE, u_s, jnp.where(ptype == T.PRIM_RECT, u_r, jnp.where(ptype == T.PRIM_TRI, u_t3, 0.0)))
-    vv = jnp.where(ptype == T.PRIM_SPHERE, v_s, jnp.where(ptype == T.PRIM_RECT, v_r, jnp.where(ptype == T.PRIM_TRI, v_t3, 0.0)))
+    p = rays.ro + rays.rd * safe_t
+    # volume normal arbitrary (1,0,0) (volumes.cpp:29)
+    n_vol = V3(jnp.ones_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
+    nrm = vwhere(is_s, n_s, vwhere(is_r, n_r, vwhere(is_t, n_t3, n_vol)))
+    # sanitize MISS lanes: their per-type records are garbage (safe_t=1,
+    # idx=0) — e.g. a far-from-sphere point gives a normal of magnitude >> 1.
+    # The caller masks the VALUES, but garbage magnitudes feed masked shading
+    # branches whose backward factors can overflow to inf, and scatter-adding
+    # +-inf cotangents into the scene tables produces NaN gradients.
+    nrm = vwhere(hit, nrm, n_vol)
+    uu = jnp.where(is_s, u_s, jnp.where(is_r, u_r, jnp.where(is_t, u_t3, 0.0)))
+    vv = jnp.where(is_s, v_s, jnp.where(is_r, v_r, jnp.where(is_t, v_t3, 0.0)))
+    uu = jnp.where(hit, uu, 0.0)
+    vv = jnp.where(hit, vv, 0.0)
     mat = jnp.where(
-        ptype == T.PRIM_SPHERE,
+        is_s,
         m_s,
         jnp.where(
-            ptype == T.PRIM_RECT,
+            is_r,
             m_r,
-            jnp.where(ptype == T.PRIM_TRI, m_t3, scene.vol_mat[jnp.where(ptype == T.PRIM_VOLUME, safe_idx, 0)]),
+            jnp.where(
+                is_t,
+                m_t3,
+                scene.vol_mat[jnp.where(ptype == T.PRIM_VOLUME, safe_idx, 0)],
+            ),
         ),
     ).astype(jnp.int32)
 

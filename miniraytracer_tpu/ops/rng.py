@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from miniraytracer_tpu.ops.vecmath import V3
+
 PI = 3.14159265358979323846
 
 _M1 = jnp.uint32(0x9E3779B1)  # golden-ratio Weyl constant
@@ -84,11 +86,11 @@ def uniform3(key, slot):
 
 # ---------------------------------------------------------------------------
 # Direction / point samplers. All take pre-drawn uniforms so callers control
-# slot accounting; all return (..., 3) stacked on the last axis.
+# slot accounting; all return componentwise V3 (SoA — see vecmath.V3).
 # ---------------------------------------------------------------------------
 
 
-def sample_cosine_direction(r1, r2):
+def sample_cosine_direction(r1, r2) -> V3:
     """Reference cosine-ish lobe sample in local (u,v,w) frame.
 
     Replicates pcg.cpp:87-98 exactly, including the non-unit length (factor 2
@@ -99,10 +101,10 @@ def sample_cosine_direction(r1, r2):
     z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
     phi = 2.0 * PI * r1
     sq = 2.0 * jnp.sqrt(r2)
-    return jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
+    return V3(jnp.cos(phi) * sq, jnp.sin(phi) * sq, z)
 
 
-def sample_cosine_direction_exact(r1, r2):
+def sample_cosine_direction_exact(r1, r2) -> V3:
     """Textbook cosine-weighted hemisphere sample (unit length, density
     cos(theta)/pi). Opt-in alternative to the reference-compat variant above:
     the reference's extra factor 2 skews its lobe so that *material-pdf-only*
@@ -111,18 +113,18 @@ def sample_cosine_direction_exact(r1, r2):
     z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
     phi = 2.0 * PI * r1
     sq = jnp.sqrt(r2)
-    return jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
+    return V3(jnp.cos(phi) * sq, jnp.sin(phi) * sq, z)
 
 
-def sample_on_sphere(r1, r2):
+def sample_on_sphere(r1, r2) -> V3:
     """Uniform direction on the unit sphere (pcg.cpp:102-110)."""
     x = r1 * 2.0 - 1.0
     phi = r2 * 2.0 * PI
     s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
-    return jnp.stack([x, jnp.cos(phi) * s, jnp.sin(phi) * s], axis=-1)
+    return V3(x, jnp.cos(phi) * s, jnp.sin(phi) * s)
 
 
-def sample_in_ball(r1, r2, r3):
+def sample_in_ball(r1, r2, r3) -> V3:
     """Uniform point in the unit ball.
 
     Analytic replacement for the reference rejection loop (pcg.cpp:70-80):
@@ -130,29 +132,34 @@ def sample_in_ball(r1, r2, r3):
     distribution, fixed op count.
     """
     d = sample_on_sphere(r1, r2)
-    rad = jnp.cbrt(r3)
-    return d * rad[..., None]
+    return d * jnp.cbrt(r3)
 
 
-def sample_in_disk(r1, r2):
+def sample_in_disk(r1, r2) -> V3:
     """Uniform point in the unit disk (z=0).
 
     Analytic replacement for pcg.cpp:112-119's rejection loop.
     """
     rad = jnp.sqrt(r1)
     phi = 2.0 * PI * r2
-    z = jnp.zeros_like(r1)
-    return jnp.stack([rad * jnp.cos(phi), rad * jnp.sin(phi), z], axis=-1)
+    return V3(rad * jnp.cos(phi), rad * jnp.sin(phi), jnp.zeros_like(r1))
 
 
-def sample_towards_sphere(radius, dist_sq, r1, r2):
+def sample_towards_sphere(radius, dist_sq, r1, r2) -> V3:
     """Cone sample towards a sphere of `radius` at squared distance `dist_sq`
-    in local frame with +z towards the center (pcg.cpp:125-136)."""
-    frac = jnp.clip(1.0 - radius * radius / dist_sq, 0.0, 1.0)
-    z = 1.0 + r2 * (jnp.sqrt(frac) - 1.0)
+    in local frame with +z towards the center (pcg.cpp:125-136).
+
+    radius/dist_sq may be differentiated scene params — sqrt args are
+    double-where'd so masked/degenerate lanes keep finite backward."""
+    frac = jnp.clip(1.0 - radius * radius / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
+    f_ok = frac > 1e-12  # eps margins: sqrt backward overflows below them
+    sq_frac = jnp.where(f_ok, jnp.sqrt(jnp.where(f_ok, frac, 1.0)), 0.0)
+    z = 1.0 + r2 * (sq_frac - 1.0)
     phi = 2.0 * PI * r1
-    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    return jnp.stack([jnp.cos(phi) * s, jnp.sin(phi) * s, z], axis=-1)
+    z2 = z * z
+    z_ok = z2 < 1.0 - 1e-12
+    s = jnp.where(z_ok, jnp.sqrt(jnp.where(z_ok, 1.0 - z2, 1.0)), 0.0)
+    return V3(jnp.cos(phi) * s, jnp.sin(phi) * s, z)
 
 
 # ---------------------------------------------------------------------------

@@ -11,9 +11,175 @@ the reference formulas: vec3.h:178-198 (reflect/refract), vec3.h:275-279
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# V3: structure-of-arrays 3-vector (the device-native form)
+#
+# TPU tiles put the MINOR axis on the 128-wide vector lanes. A batched
+# (N, 3) vector array therefore uses 3/128 lanes, and any op that slices or
+# builds the size-3 axis (cross products, component extraction, stacking)
+# forces relayouts — measured ~7-10x slower than componentwise code on
+# batched Moller-Trumbore. V3 keeps x/y/z as three independent (N,) arrays
+# so every op is full-width elementwise VPU work; the (..., 3) form exists
+# only at host boundaries (framebuffers, scene tables, image output).
+# ---------------------------------------------------------------------------
+
+
+class V3(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    # -- arithmetic (componentwise; scalars broadcast) --
+    def __add__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return V3(self.x + o, self.y + o, self.z + o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return V3(self.x - o, self.y - o, self.z - o)
+
+    def __rsub__(self, o):
+        return V3(o - self.x, o - self.y, o - self.z)
+
+    def __mul__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x * o.x, self.y * o.y, self.z * o.z)
+        return V3(self.x * o, self.y * o, self.z * o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x / o.x, self.y / o.y, self.z / o.z)
+        return V3(self.x / o, self.y / o, self.z / o)
+
+    def __neg__(self):
+        return V3(-self.x, -self.y, -self.z)
+
+    # -- conversions --
+    @property
+    def arr(self) -> jnp.ndarray:
+        """(..., 3) array form (host/frame boundary only — causes relayout)."""
+        return jnp.stack([self.x, self.y, self.z], axis=-1)
+
+    @staticmethod
+    def from_arr(a) -> "V3":
+        return V3(a[..., 0], a[..., 1], a[..., 2])
+
+    @staticmethod
+    def of(x, y, z) -> "V3":
+        """V3 of (broadcastable) scalars/arrays, asarray'd."""
+        return V3(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
+
+    @staticmethod
+    def fill(shape, cx, cy, cz, dtype=jnp.float32) -> "V3":
+        return V3(
+            jnp.full(shape, cx, dtype),
+            jnp.full(shape, cy, dtype),
+            jnp.full(shape, cz, dtype),
+        )
+
+    @staticmethod
+    def zeros(shape, dtype=jnp.float32) -> "V3":
+        z = jnp.zeros(shape, dtype)
+        return V3(z, z, z)
+
+
+def vdot(a: V3, b: V3):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def vsdot(a: V3):
+    return a.x * a.x + a.y * a.y + a.z * a.z
+
+
+def vlength(a: V3):
+    return jnp.sqrt(vsdot(a))
+
+
+def vcross(a: V3, b: V3) -> V3:
+    return V3(
+        a.y * b.z - a.z * b.y,
+        a.z * b.x - a.x * b.z,
+        a.x * b.y - a.y * b.x,
+    )
+
+
+def vnormalize(a: V3) -> V3:
+    """Safe normalize (near-zero vectors -> zero).
+
+    The floor is 1e-20, not 0: the backward of 1/sqrt(n2) carries an
+    n2^(-3/2) factor that overflows to inf for denormal lengths (e.g. the
+    metal fuzz direction can cancel the reflection, reference quirk
+    material.h:94 / SURVEY.md 9.8), and 0-masked-cotangent * inf = NaN.
+    """
+    n2 = vsdot(a)
+    ok = n2 > 1e-20
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
+    return a * inv
+
+
+def vwhere(mask, a: V3, b: V3) -> V3:
+    """Select with an unexpanded (...,)-shaped mask."""
+    return V3(
+        jnp.where(mask, a.x, b.x),
+        jnp.where(mask, a.y, b.y),
+        jnp.where(mask, a.z, b.z),
+    )
+
+
+def vreflect(v: V3, n: V3) -> V3:
+    """v - 2*dot(v,n)*n (vec3.h:178-181)."""
+    return v - n * (2.0 * vdot(v, n))
+
+
+def vrefract(v: V3, n: V3, ni_over_nt):
+    """Snell refraction (vec3.h:185-198), componentwise; see `refract`."""
+    ncosI = vdot(v, n)
+    sinT2 = (ni_over_nt * ni_over_nt) * (1.0 - ncosI * ncosI)
+    ok = sinT2 <= 1.0
+    # double-where with an eps margin: sqrt's backward is 1/(2 sqrt(x)), which
+    # still overflows for x in (0, ~1e-38) — the TIR grazing sliver. Lanes in
+    # [1-1e-9, 1] get cosT from the safe branch; measure-zero forward change.
+    safe = sinT2 < 1.0 - 1e-9
+    cosT = jnp.sqrt(jnp.where(safe, 1.0 - sinT2, 1.0))
+    cosT = jnp.where(safe, cosT, 0.0)  # true cosT <= 3e-5 there; TIR anyway
+    cosI = -ncosI
+    refracted = v * ni_over_nt + n * (ni_over_nt * cosI - cosT)
+    return refracted, ok
+
+
+def vluminance(c: V3):
+    """BT.709 luminance (vec3.h:275-279)."""
+    return 0.212655 * c.x + 0.715158 * c.y + 0.072187 * c.z
+
+
+def vonb_from_w(n: V3):
+    """Orthonormal basis from a normalized normal (onb.h:19-23) -> (u,v,w)."""
+    w = n
+    big_x = jnp.abs(w.x) > 0.9
+    ax = jnp.where(big_x, 0.0, 1.0)
+    ay = jnp.where(big_x, 1.0, 0.0)
+    a = V3(ax, ay, jnp.zeros_like(ax))
+    v = vnormalize(vcross(w, a))
+    u = vcross(w, v)
+    return u, v, w
+
+
+def vonb_l2w(u: V3, v: V3, w: V3, local: V3) -> V3:
+    """onb * vec (onb.h:25-27): local.x*u + local.y*v + local.z*w."""
+    return u * local.x + v * local.y + w * local.z
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -49,10 +49,11 @@ def _make_pass_fn(mesh: Mesh, width: int, height: int, max_bounces: int, loop: s
         my_sample = sample_idx + sp_i
         offset = offset_all[sp_i % offset_all.shape[0]]
 
-        radiance, rays = integ.sample_radiance(
+        radiance_v, rays = integ.sample_radiance(
             scene, pix, my_sample, offset,
             width=width, height=height, max_bounces=max_bounces, loop=loop,
         )
+        radiance = radiance_v.arr
         # NaN guard per sample: non-finite -> running average (main.cpp:214-219)
         finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
         prev = jnp.where(sample_idx > 0, frame_l, jnp.zeros_like(frame_l))
@@ -89,6 +90,79 @@ def render_pass_sharded(
     """
     fn = _make_pass_fn(mesh, width, height, max_bounces, loop)
     return fn(scene, frame, sample_idx, offsets, max_lum)
+
+
+@lru_cache(maxsize=32)
+def _make_wavefront_fn(mesh: Mesh, width: int, height: int, spp: int, max_bounces: int):
+    ndp = mesh.shape["dp"]
+    nsp = mesh.shape["sp"]
+    n_pix = width * height
+    n_pad = _padded_size(n_pix, ndp)
+    local = n_pad // ndp
+    offs, ns = integ.sample_offsets(spp)
+    base_n, rem = divmod(ns, nsp)
+
+    def body(scene, max_lum):
+        base = jax.lax.axis_index("dp") * local
+        pix = base + jnp.arange(local, dtype=jnp.uint32)
+        pix = jnp.minimum(pix, jnp.uint32(n_pix - 1))
+        # contiguous sample block for this sp slice (sizes differ by <=1)
+        sp = jax.lax.axis_index("sp")
+        lo = sp * base_n + jnp.minimum(sp, rem)
+        cnt = base_n + (sp < rem).astype(jnp.int32)
+        accum, count, rays = integ.render_wavefront_pixels(
+            scene, pix, offs, lo, cnt, max_lum,
+            width=width, height=height, max_bounces=max_bounces,
+        )
+        # sample-weighted combine across sp blocks (clamp/NaN-guard applied
+        # per block — identical to single-device when nsp == 1)
+        accum = jax.lax.psum(accum, "sp")  # V3 pytree psum
+        count = jax.lax.psum(count, "sp")
+        inv = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
+        avg = (accum * inv).arr
+        rays = jax.lax.psum(rays, ("dp", "sp"))
+        return avg, rays
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_wavefront_distributed(
+    scene,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    max_bounces: int = 32,
+    max_lum: float = 1000.0,
+):
+    """Whole-frame wavefront render as ONE SPMD program: pixels over dp,
+    contiguous sample blocks over sp, lane regeneration inside.
+
+    Returns (frame (H,W,3) on host, stats)."""
+    import time as _time
+
+    fn = _make_wavefront_fn(mesh, width, height, spp, max_bounces)
+    t0 = _time.perf_counter()
+    frame, rays = fn(scene, jnp.float32(max_lum))
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total = float(rays)
+    stats = {
+        "seconds": elapsed,
+        "rays": total,
+        "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": int(spp**0.5) ** 2,
+        "devices": mesh.devices.size,
+    }
+    host = jax.device_get(frame)[: width * height]
+    return host.reshape(height, width, 3), stats
 
 
 def make_frame(width: int, height: int, mesh: Mesh):

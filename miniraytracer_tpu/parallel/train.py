@@ -79,10 +79,11 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int):
         sp_i = jax.lax.axis_index("sp")
         offset = offset_all[sp_i % offset_all.shape[0]]
 
-        radiance, _ = integ.sample_radiance(
+        radiance_v, _ = integ.sample_radiance(
             scene, pix, sample0 + sp_i, offset,
             width=width, height=height, max_bounces=max_bounces, loop="scan",
         )
+        radiance = radiance_v.arr
         radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
         mean_color = jax.lax.psum(radiance, "sp") / nsp
         err = jnp.where(in_image[:, None], mean_color - target_l, 0.0)

@@ -1,4 +1,4 @@
-"""Wavefront OBJ mesh loader (host-side, NumPy).
+"""Wavefront OBJ mesh loader (host-side).
 
 Covers the reference loader's format subset (obj_loader.cpp:14-163):
 `v x y z`, `vn x y z`, and faces `f a b c` / `f a//an b//bn c//cn`
@@ -6,7 +6,9 @@ Covers the reference loader's format subset (obj_loader.cpp:14-163):
 scale -> rotate -> translate; normals get the inverse rotation
 (obj_loader.cpp:80-133). `flip` swaps winding (a<->c).
 
-Returns triangle arrays in edge form ready for SceneBuilder.triangle rows.
+Parsing is done by the native runtime library (csrc/obj_loader.cpp via
+utils.runtime, with a pure-Python fallback); the transform baking and
+vectorized edge-form conversion happen here in NumPy.
 """
 
 from __future__ import annotations
@@ -14,6 +16,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
+
+from miniraytracer_tpu.utils import runtime as rt
 
 _F = np.float32
 
@@ -30,56 +34,36 @@ def read_obj(path, scale=1.0, rot_y_deg=0.0, translate=(0, 0, 0), flip=False):
     Normals are per-vertex when the file provides them, else the flat
     geometric normal (triangle.cpp ctor without normals).
     """
-    verts, norms = [], []
-    faces, face_norms = [], []
-    with open(path, "r") as f:
-        for line in f:
-            parts = line.split()
-            if not parts:
-                continue
-            tag = parts[0]
-            if tag == "v":
-                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            elif tag == "vn":
-                norms.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            elif tag == "f":
-                idx = []
-                nidx = []
-                for tok in parts[1:4]:
-                    if "//" in tok:
-                        a, b = tok.split("//")
-                        idx.append(int(a) - 1)
-                        nidx.append(int(b) - 1)
-                    else:
-                        idx.append(int(tok.split("/")[0]) - 1)
-                faces.append(idx)
-                face_norms.append(nidx if nidx else None)
+    V, N, F = rt.obj_parse(path)
+    if F.shape[0] == 0:
+        z = np.zeros((0, 3), _F)
+        return z, z, z, z, z, z
 
-    V = np.asarray(verts, _F)
-    N = np.asarray(norms, _F) if norms else None
     R = _roty(rot_y_deg)
     off = np.asarray(translate, _F)
     Vt = (V * _F(scale)) @ R.T + off
 
-    a_l, b_l, c_l, an_l, bn_l, cn_l = [], [], [], [], [], []
-    for fi, f_idx in enumerate(faces):
-        ai, bi, ci = f_idx
-        fn = face_norms[fi]
-        if flip:
-            ai, ci = ci, ai
-            if fn:
-                fn = [fn[2], fn[1], fn[0]]
-        a, b, c = Vt[ai], Vt[bi], Vt[ci]
-        if fn:
-            # pure-rotation normal transform: n' = R @ n (the reference's
-            # row-vector * inverse-rotation, obj_loader.cpp:117-119)
-            an, bn, cn = N[fn[0]] @ R.T, N[fn[1]] @ R.T, N[fn[2]] @ R.T
-        else:
-            n = np.cross(b - a, c - a)
-            ln = np.linalg.norm(n)
-            n = n / ln if ln > 0 else n
-            an = bn = cn = n
-        a_l.append(a); b_l.append(b); c_l.append(c)
-        an_l.append(an); bn_l.append(bn); cn_l.append(cn)
+    if flip:  # swap winding a <-> c (obj_loader.cpp winding flip)
+        vi = F[:, [2, 1, 0]]
+        ni = F[:, [5, 4, 3]]
+    else:
+        vi = F[:, :3]
+        ni = F[:, 3:]
 
-    return tuple(np.asarray(x, _F) for x in (a_l, b_l, c_l, an_l, bn_l, cn_l))
+    a, b, c = Vt[vi[:, 0]], Vt[vi[:, 1]], Vt[vi[:, 2]]
+    has_n = (ni >= 0).all(axis=1) & (N.shape[0] > 0)
+    # flat geometric normals where vertex normals are absent
+    gn = np.cross(b - a, c - a)
+    ln = np.linalg.norm(gn, axis=1, keepdims=True)
+    gn = np.where(ln > 0, gn / np.maximum(ln, 1e-30), gn)
+
+    def vert_n(k):
+        if N.shape[0] == 0:
+            return gn
+        # pure-rotation normal transform: n' = R @ n (the reference's
+        # row-vector * inverse-rotation, obj_loader.cpp:117-119)
+        nn = N[np.clip(ni[:, k], 0, max(N.shape[0] - 1, 0))] @ R.T
+        return np.where(has_n[:, None], nn, gn)
+
+    an, bn, cn = vert_n(0), vert_n(1), vert_n(2)
+    return tuple(np.asarray(x, _F) for x in (a, b, c, an, bn, cn))

@@ -1,0 +1,58 @@
+"""CLI + checkpoint/resume."""
+
+import os
+
+import numpy as np
+
+from miniraytracer_tpu.cli import build_parser, main
+from miniraytracer_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+def test_parser_defaults_match_reference():
+    # cmdline_parser.h:5-18
+    a = build_parser().parse_args([])
+    assert (a.width, a.height, a.samples, a.tilesize, a.depth, a.scene, a.mode) == (
+        500, 500, 128, 32, 32, 8, 1,
+    )
+    assert a.maxlum == 1000.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "ck.npz")
+    frame = np.random.default_rng(0).uniform(size=(64, 3)).astype(np.float32)
+    save_checkpoint(p, frame, 7, {"width": 8, "height": 8, "scene": 2})
+    f2, s2, cfg = load_checkpoint(p)
+    np.testing.assert_array_equal(frame, f2)
+    assert s2 == 7 and cfg["scene"] == 2
+
+
+def test_cli_end_to_end_and_resume(tmp_path):
+    out1 = str(tmp_path / "a.png")
+    out2 = str(tmp_path / "b.png")
+    ck = str(tmp_path / "ck.npz")
+    # full progressive run with checkpoints
+    main(["-scene", "2", "-width", "24", "-height", "24", "-samples", "4",
+          "-depth", "3", "-mode", "1", "-checkpoint", ck,
+          "-checkpoint-every", "2", "-out", out1])
+    assert os.path.exists(out1) and os.path.exists(ck)
+    # interrupted run: resume from pass 2 checkpoint and finish
+    frame_full, s_full, _ = load_checkpoint(ck)
+    save_ck = str(tmp_path / "ck2.npz")
+    # re-run only the first 2 passes to produce a mid-way checkpoint
+    main(["-scene", "2", "-width", "24", "-height", "24", "-samples", "4",
+          "-depth", "3", "-mode", "1", "-checkpoint", save_ck,
+          "-checkpoint-every", "2", "-out", out2])
+    f_a = np.asarray(load_checkpoint(ck)[0])
+    f_b = np.asarray(load_checkpoint(save_ck)[0])
+    np.testing.assert_allclose(f_a, f_b, atol=1e-6)  # deterministic re-render
+
+
+def test_cli_wavefront_writes_image(tmp_path):
+    out = str(tmp_path / "w.png")
+    main(["-scene", "5", "-width", "20", "-height", "20", "-samples", "1",
+          "-depth", "2", "-renderer", "wavefront", "-out", out])
+    from PIL import Image
+
+    im = np.asarray(Image.open(out))
+    assert im.shape == (20, 20, 3)
+    assert im.max() > 0

@@ -3,6 +3,7 @@ import numpy as np
 
 from miniraytracer_tpu.ops import intersect as ix
 from miniraytracer_tpu.scene import types as T
+from miniraytracer_tpu.ops.vecmath import V3
 from miniraytracer_tpu.scene.builder import SceneBuilder
 
 
@@ -12,8 +13,8 @@ def mk_rays(origins, dirs, time=0.0, inside=0):
     rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     n = ro.shape[0]
     return ix.Rays(
-        ro=ro,
-        rd=rd,
+        ro=V3.from_arr(ro),
+        rd=V3.from_arr(rd),
         time=jnp.full((n,), time, jnp.float32),
         inside=jnp.full((n,), inside, jnp.int32),
     )
@@ -34,8 +35,8 @@ def test_sphere_hit_front_and_miss():
     rec = ix.scene_hit(scene, rays)
     assert bool(rec.hit[0]) and not bool(rec.hit[1])
     np.testing.assert_allclose(float(rec.t[0]), 4.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(rec.p[0]), [0, 0, -4], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.p.arr[0]), [0, 0, -4], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.n.arr[0]), [0, 0, 1], atol=1e-5)
     # uv: normal (0,0,1): phi=atan2(1,0)=pi/2, u = 0.5 - 0.25 = 0.25; v=0.5
     np.testing.assert_allclose(float(rec.u[0]), 0.25, atol=1e-5)
     np.testing.assert_allclose(float(rec.v[0]), 0.5, atol=1e-5)
@@ -63,7 +64,7 @@ def test_hollow_sphere_negative_radius_flips_normal():
     scene = b.build()
     rec = ix.scene_hit(scene, mk_rays([0, 0, 0], [0, 0, -1]))
     assert bool(rec.hit[0])
-    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 0, -1], atol=1e-5)  # inward
+    np.testing.assert_allclose(np.asarray(rec.n.arr[0]), [0, 0, -1], atol=1e-5)  # inward
 
 
 def test_moving_sphere_lerp():
@@ -88,7 +89,7 @@ def test_rect_one_sided():
     rec_b = ix.scene_hit(scene, from_below)
     assert bool(rec_a.hit[0]) and not bool(rec_b.hit[0])
     np.testing.assert_allclose(float(rec_a.t[0]), 3.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(rec_a.n[0]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_a.n.arr[0]), [0, 1, 0], atol=1e-6)
     np.testing.assert_allclose(float(rec_a.u[0]), 0.5, atol=1e-5)
 
 
@@ -99,7 +100,7 @@ def test_rect_flipped_ctor_args_flip_normal():
     scene = b.build()
     rec = ix.scene_hit(scene, mk_rays([2.5, 0, 2.5], [0, 1, 0]))
     assert bool(rec.hit[0])
-    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, -1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec.n.arr[0]), [0, -1, 0], atol=1e-6)
 
 
 def test_triangle_hit_and_backface_cull():
@@ -114,7 +115,7 @@ def test_triangle_hit_and_backface_cull():
     rec_b = ix.scene_hit(scene, back)
     assert bool(rec_f.hit[0]) and not bool(rec_b.hit[0])
     np.testing.assert_allclose(float(rec_f.t[0]), 3.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(rec_f.n[0]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec_f.n.arr[0]), [0, 0, 1], atol=1e-5)
     # backface hits when inside (triangle.cpp:227-235)
     rec_bi = ix.scene_hit(scene, mk_rays([0, 0, -6], [0, 0, 1], inside=1))
     assert bool(rec_bi.hit[0])
@@ -129,7 +130,7 @@ def test_box_is_12_one_sided_triangles():
     rec = ix.scene_hit(scene, mk_rays([0.5, 0.5, 3], [0, 0, -1]))
     assert bool(rec.hit[0])
     np.testing.assert_allclose(float(rec.t[0]), 2.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.n.arr[0]), [0, 0, 1], atol=1e-5)
     # from inside: all faces backfacing -> no hit (matches one-sided rects)
     rec_in = ix.scene_hit(scene, mk_rays([0.5, 0.5, 0.5], [0, 0, -1]))
     assert not bool(rec_in.hit[0])
@@ -146,7 +147,7 @@ def test_rotated_translated_box():
     rec = ix.scene_hit(scene, mk_rays([cx, 500, cz], [0, -1, 0]))
     assert bool(rec.hit[0])
     np.testing.assert_allclose(float(rec.t[0]), 170.0, atol=1.0)
-    np.testing.assert_allclose(np.asarray(rec.n[0]), [0, 1, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec.n.arr[0]), [0, 1, 0], atol=1e-4)
 
 
 def test_closest_of_multiple_types():
@@ -168,8 +169,8 @@ def test_volume_sphere_scatter_distribution():
     scene = b.build()
     n = 20000
     rays = ix.Rays(
-        ro=jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1)),
-        rd=jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1)),
+        ro=V3.zeros((n,)),
+        rd=V3(jnp.zeros(n), jnp.zeros(n), jnp.full(n, -1.0)),
         time=jnp.zeros((n,)),
         inside=jnp.zeros((n,), jnp.int32),
     )

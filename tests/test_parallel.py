@@ -1,0 +1,127 @@
+"""Sharded rendering + distributed train step on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniraytracer_tpu.models import integrator as integ
+from miniraytracer_tpu.models.scenes import cornell_box, two_spheres
+from miniraytracer_tpu.parallel import (
+    make_mesh, make_train_step, extract_params, apply_params,
+)
+from miniraytracer_tpu.parallel.render import (
+    make_frame, render_pass_sharded, render_distributed,
+    render_wavefront_distributed,
+)
+
+
+def test_wavefront_matches_progressive_single_device():
+    scene = cornell_box(1.0)
+    f1, s1 = integ.render(scene, 32, 32, 9, max_bounces=5)
+    f2, s2 = integ.render_wavefront(scene, 32, 32, 9, max_bounces=5)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=5e-6)
+    assert s1["rays"] == s2["rays"]
+
+
+def test_sharded_wavefront_matches_unsharded():
+    scene = cornell_box(1.0)
+    f0, s0 = integ.render_wavefront(scene, 24, 24, 4, max_bounces=4)
+    for shape in [(8, 1), (4, 2), (2, 2)]:
+        mesh = make_mesh(*shape)
+        f1, s1 = render_wavefront_distributed(scene, 24, 24, 4, mesh, max_bounces=4)
+        np.testing.assert_allclose(np.asarray(f0), f1, atol=5e-6)
+        assert s1["rays"] == s0["rays"]
+
+
+def test_sharded_progressive_matches_unsharded():
+    scene = two_spheres(1.0)
+    f0, s0 = integ.render(scene, 24, 24, 4, max_bounces=4)
+    mesh = make_mesh(8, 1)
+    f1, s1 = render_distributed(scene, 24, 24, 4, mesh, max_bounces=4)
+    np.testing.assert_allclose(np.asarray(f0), f1, atol=5e-6)
+
+
+def test_padding_pixels_handled():
+    # 23*23 = 529 pixels not divisible by 8 -> padded shard
+    scene = two_spheres(1.0)
+    f0, _ = integ.render_wavefront(scene, 23, 23, 1, max_bounces=3)
+    mesh = make_mesh(8, 1)
+    f1, _ = render_wavefront_distributed(scene, 23, 23, 1, mesh, max_bounces=3)
+    np.testing.assert_allclose(np.asarray(f0), f1, atol=5e-6)
+
+
+def test_train_step_loss_decreases_and_grads_flow():
+    scene = cornell_box(1.0)
+    mesh = make_mesh(4, 2)
+    W = H = 16
+    step = make_train_step(mesh, width=W, height=H, max_bounces=3)
+    params = extract_params(scene)
+    offs, _ = integ.sample_offsets(4)
+
+    # target: render with the TRUE albedo; then perturb and fit back
+    target_frame = make_frame(W, H, mesh)
+    target, _ = render_pass_sharded(
+        scene, target_frame, jnp.int32(0), offs, jnp.float32(1000.0),
+        width=W, height=H, max_bounces=3, mesh=mesh,
+    )
+    perturbed = params._replace(tex_c0=params.tex_c0 * 0.5)
+    p = perturbed
+    losses = []
+    for i in range(8):
+        p, loss, grads = step(p, scene, target, jnp.int32(0), offs, jnp.float32(0.5))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # gradient flows into albedo table
+    assert float(jnp.abs(grads.tex_c0).sum()) > 0
+
+
+def test_all_param_gradients_finite():
+    """NaN-free backward through every differentiable leaf (geometry sqrt
+    branches are the usual culprits — the double-where pattern guards them)."""
+    scene = cornell_box(1.0)  # sphere + rects + tris + light MIS + dielectric
+    W = H = 8
+    offs, _ = integ.sample_offsets(1)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+
+    def loss_of(p):
+        rad, _ = integ.sample_radiance(
+            apply_params(scene, p), pix, jnp.int32(0), offs[0],
+            width=W, height=H, max_bounces=4, loop="scan",
+        )
+        return jnp.sum(rad.arr)
+
+    g = jax.grad(loss_of)(extract_params(scene))
+    for name, leaf in g._asdict().items():
+        assert bool(jnp.isfinite(leaf).all()), f"non-finite grad in {name}"
+    # geometry gradients actually flow (not all zero)
+    assert float(jnp.abs(g.sph_c0).sum()) > 0
+    assert float(jnp.abs(g.tri_m).sum()) > 0
+
+
+def test_gradients_match_finite_differences():
+    """North-star requirement: backward gradients vs finite differences
+    (BASELINE.json). Checked on a smooth parameter (albedo) where the
+    estimator is differentiable."""
+    scene = two_spheres(1.0)
+    W = H = 8
+    offs, _ = integ.sample_offsets(1)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+
+    def loss_of(scene):
+        rad, _ = integ.sample_radiance(
+            scene, pix, jnp.int32(0), offs[0],
+            width=W, height=H, max_bounces=3, loop="scan",
+        )
+        return jnp.sum(rad.arr)
+
+    params = extract_params(scene)
+    g = jax.grad(lambda p: loss_of(apply_params(scene, p)))(params)
+    # finite difference on one albedo channel (checker even color, red)
+    eps = 1e-3
+    for (ti, ch) in [(0, 0), (0, 1)]:
+        p_hi = params._replace(tex_c0=params.tex_c0.at[ti, ch].add(eps))
+        p_lo = params._replace(tex_c0=params.tex_c0.at[ti, ch].add(-eps))
+        fd = (loss_of(apply_params(scene, p_hi)) - loss_of(apply_params(scene, p_lo))) / (2 * eps)
+        ad = g.tex_c0[ti, ch]
+        np.testing.assert_allclose(float(ad), float(fd), rtol=2e-2)

@@ -43,7 +43,7 @@ def _keys(n, seed=0):
 def test_on_sphere_uniform():
     n = 200000
     k = _keys(n, 1)
-    d = np.asarray(rng.sample_on_sphere(rng.uniform(k, 0), rng.uniform(k, 1)))
+    d = np.asarray(rng.sample_on_sphere(rng.uniform(k, 0), rng.uniform(k, 1)).arr)
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, rtol=1e-4)
     assert np.all(np.abs(d.mean(0)) < 0.01)
     # each component uniform in [-1,1] for a uniform sphere: var = 1/3
@@ -53,7 +53,7 @@ def test_on_sphere_uniform():
 def test_in_ball_uniform():
     n = 200000
     k = _keys(n, 2)
-    p = np.asarray(rng.sample_in_ball(rng.uniform(k, 0), rng.uniform(k, 1), rng.uniform(k, 2)))
+    p = np.asarray(rng.sample_in_ball(rng.uniform(k, 0), rng.uniform(k, 1), rng.uniform(k, 2)).arr)
     r = np.linalg.norm(p, axis=-1)
     assert r.max() <= 1.0
     # P(r < t) = t^3
@@ -64,7 +64,7 @@ def test_in_ball_uniform():
 def test_in_disk_uniform():
     n = 200000
     k = _keys(n, 3)
-    p = np.asarray(rng.sample_in_disk(rng.uniform(k, 0), rng.uniform(k, 1)))
+    p = np.asarray(rng.sample_in_disk(rng.uniform(k, 0), rng.uniform(k, 1)).arr)
     r = np.linalg.norm(p[:, :2], axis=-1)
     assert np.all(p[:, 2] == 0)
     assert r.max() <= 1.0
@@ -75,7 +75,7 @@ def test_in_disk_uniform():
 def test_cosine_direction_matches_reference_formula():
     # pcg.cpp:87-98 with fixed uniforms
     r1, r2 = 0.3, 0.7
-    d = np.asarray(rng.sample_cosine_direction(jnp.float32(r1), jnp.float32(r2)))
+    d = np.asarray(rng.sample_cosine_direction(jnp.float32(r1), jnp.float32(r2)).arr)
     import math
 
     z = math.sqrt(1 - r2)
@@ -90,7 +90,7 @@ def test_towards_sphere_within_cone():
     k = _keys(n, 4)
     radius, dist_sq = 1.0, 25.0
     d = np.asarray(
-        rng.sample_towards_sphere(radius, dist_sq, rng.uniform(k, 0), rng.uniform(k, 1))
+        rng.sample_towards_sphere(radius, dist_sq, rng.uniform(k, 0), rng.uniform(k, 1)).arr
     )
     cos_max = np.sqrt(1 - radius**2 / dist_sq)
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, rtol=1e-4)
