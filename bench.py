@@ -52,25 +52,26 @@ def main():
     offs, _ = integ.sample_offsets(64)
     ml = jnp.float32(1000.0)
 
-    # ---- forward-only throughput (secondary) ----
+    # ---- forward-only throughput (secondary): regenerating wavefront ----
+    from miniraytracer_tpu.parallel.render import render_wavefront_distributed
+
+    fwd_spp = 64
+    frame_img, _ = render_wavefront_distributed(
+        scene, W, H, fwd_spp, mesh, max_bounces=B, max_lum=1000.0
+    )  # warmup/compile
+    _, fstats = render_wavefront_distributed(
+        scene, W, H, fwd_spp, mesh, max_bounces=B, max_lum=1000.0
+    )
+    fwd_mrays = fstats["mrays_per_s"]
+    rays_per_pass = fstats["rays"] / fwd_spp
+
+    # target for the training step: a progressive-pass frame
     frame = make_frame(W, H, mesh)
-    fwd = lambda fr, i: render_pass_sharded(
-        scene, fr, jnp.int32(i), offs, ml,
+    frame, _ = render_pass_sharded(
+        scene, frame, jnp.int32(0), offs, ml,
         width=W, height=H, max_bounces=B, mesh=mesh, loop="while",
     )
-    frame, rays_per_pass = fwd(frame, 0)  # warmup/compile
-    rays_per_pass = float(rays_per_pass)
     jax.block_until_ready(frame)
-    t0 = time.perf_counter()
-    total_fwd_rays = 0.0
-    counts = []
-    for i in range(1, args.fwd_passes + 1):
-        frame, r = fwd(frame, i)
-        counts.append(r)
-    jax.block_until_ready(frame)
-    t_fwd = time.perf_counter() - t0
-    total_fwd_rays = float(sum(float(c) for c in counts))
-    fwd_mrays = total_fwd_rays / t_fwd / 1e6
 
     # ---- forward+backward training step (headline) ----
     step = make_train_step(mesh, width=W, height=H, max_bounces=B)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from miniraytracer_tpu.models import camera as cam_mod
 from miniraytracer_tpu.models import materials as mat_mod
 from miniraytracer_tpu.ops import intersect as ix
-from miniraytracer_tpu.ops import rng, vecmath as vm
+from miniraytracer_tpu.ops import lookup, rng, vecmath as vm
 from miniraytracer_tpu.ops.vecmath import V3, vwhere
 from miniraytracer_tpu.scene import types as T
 
@@ -232,8 +232,9 @@ def render_wavefront_pixels(
     def camera_rays(sample_idx):
         """sample_idx: (N,) i32 absolute sample index per lane."""
         ci = jnp.clip(sample_idx, 0, offsets.shape[0] - 1)
-        ss = (x + offsets[ci, 0]) / width
-        tt = (y + offsets[ci, 1]) / height
+        off_x, off_y = lookup.lookup_cols(ci, (offsets[:, 0], offsets[:, 1]))
+        ss = (x + off_x) / width
+        tt = (y + off_y) / height
         keys = rng.ray_key(pix, sample_idx.astype(jnp.uint32))
         rays = cam_mod.get_rays(scene.camera, ss, tt, keys)
         return rays, keys

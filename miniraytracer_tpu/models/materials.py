@@ -33,6 +33,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from miniraytracer_tpu.ops import rng
+from miniraytracer_tpu.ops.lookup import lookup_cols
 from miniraytracer_tpu.ops.vecmath import (
     V3, vdot, vnormalize, vreflect, vrefract, vwhere, vonb_from_w, vonb_l2w,
 )
@@ -75,9 +76,9 @@ def shade(scene: T.SceneData, rays: Rays, rec: HitRecord, keys, depth_ok) -> Sca
     `keys` are per-bounce ray keys; `depth_ok` is the static/per-ray
     depth < maxBounces gate (main.cpp:79).
     """
-    mtype = scene.mat_type[rec.mat]
-    mparam = scene.mat_param[rec.mat]
-    tex_id = scene.mat_tex[rec.mat]
+    mtype, mparam, tex_id = lookup_cols(
+        rec.mat, (scene.mat_type, scene.mat_param, scene.mat_tex)
+    )
     albedo = sample_texture(scene, tex_id, rec.u, rec.v, rec.p)
 
     n = rec.n

@@ -44,7 +44,7 @@ def _light_sphere_pdf_value(scene: T.SceneData, si, origin: V3, d: V3, time):
     rays = ix.Rays(ro=origin, rd=d, time=time, inside=jnp.zeros((n,), jnp.int32))
     ts = ix.sphere_ts(scene, rays, si, 1, ix.TMIN, jnp.full((n,), ix.INF))[0]
     hit = ts < ix.INF
-    cen = ix._sphere_center_at(scene, jnp.full((n,), si, jnp.int32), time)
+    cen = ix._sphere_center_static(scene, si, time)
     r = scene.sph_radius[si]
     dist_sq = vsdot(cen - origin)
     cm_arg = jnp.clip(1.0 - r * r / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
@@ -95,9 +95,7 @@ def light_pdf_generate(scene: T.SceneData, origin: V3, time, u_pick, u_a, u_b) -
     out = V3.zeros(time.shape)
     for li, (ltype, lidx) in enumerate(scene.lights):
         if ltype == T.PRIM_SPHERE:
-            cen = ix._sphere_center_at(
-                scene, jnp.full(time.shape, lidx, jnp.int32), time
-            )
+            cen = ix._sphere_center_static(scene, lidx, time)
             to_c = cen - origin
             dist_sq = vsdot(to_c)
             uo, vo, wo = vonb_from_w(vnormalize(to_c))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from miniraytracer_tpu.ops.lookup import lookup_cols
 from miniraytracer_tpu.ops.vecmath import V3, vwhere
 from miniraytracer_tpu.scene import types as T
 
@@ -39,19 +40,20 @@ def perlin_noise(scene: T.SceneData, p: V3) -> jnp.ndarray:
 
     acc = jnp.zeros_like(p.x)
     for di in (0, 1):
-        xi = scene.perlin_px[(ix + di) & 255]
+        (xi,) = lookup_cols((ix + di) & 255, (scene.perlin_px,))
         ax = hx if di == 1 else 1.0 - hx
         wx = fx - di
         for dj in (0, 1):
-            yi = scene.perlin_py[(iy + dj) & 255]
+            (yi,) = lookup_cols((iy + dj) & 255, (scene.perlin_py,))
             ay = hy if dj == 1 else 1.0 - hy
             wy = fy - dj
             for dk in (0, 1):
-                zi = scene.perlin_pz[(iz + dk) & 255]
+                (zi,) = lookup_cols((iz + dk) & 255, (scene.perlin_pz,))
                 az = hz if dk == 1 else 1.0 - hz
                 wz = fz - dk
                 gi = xi ^ yi ^ zi
-                d = gx[gi] * wx + gy[gi] * wy + gz[gi] * wz
+                gvx, gvy, gvz = lookup_cols(gi, (gx, gy, gz))
+                d = gvx * wx + gvy * wy + gvz * wz
                 acc = acc + ax * ay * az * d
     return acc
 
@@ -84,10 +86,17 @@ def image_sample(scene: T.SceneData, img_id, h, w, u, v) -> V3:
 
 def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3) -> V3:
     """Batched texture::sample for per-ray texture ids (N,) -> V3 color."""
-    ttype = scene.tex_type[tex_id]
-    c0 = V3(scene.tex_c0[tex_id, 0], scene.tex_c0[tex_id, 1], scene.tex_c0[tex_id, 2])
-    c1 = V3(scene.tex_c1[tex_id, 0], scene.tex_c1[tex_id, 1], scene.tex_c1[tex_id, 2])
-    scale = scene.tex_scale[tex_id]
+    (ttype, c0x, c0y, c0z, c1x, c1y, c1z, scale, img_id) = lookup_cols(
+        tex_id,
+        (
+            scene.tex_type,
+            scene.tex_c0[:, 0], scene.tex_c0[:, 1], scene.tex_c0[:, 2],
+            scene.tex_c1[:, 0], scene.tex_c1[:, 1], scene.tex_c1[:, 2],
+            scene.tex_scale, scene.tex_img,
+        ),
+    )
+    c0 = V3(c0x, c0y, c0z)
+    c1 = V3(c1x, c1y, c1z)
 
     out = c0  # TEX_CONST
 
@@ -100,7 +109,6 @@ def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3) -> V3:
         out = vwhere(ttype == T.TEX_PERLIN, V3(turb, turb, turb), out)
 
     if scene.has_image:
-        img_id = scene.tex_img[tex_id]
         # builder stashes (h, w) in tex_c1 for image textures
         img = image_sample(scene, img_id, c1.x, c1.y, u, v)
         out = vwhere(ttype == T.TEX_IMAGE, img, out)

@@ -32,6 +32,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from miniraytracer_tpu.ops import vecmath as vm
+from miniraytracer_tpu.ops.lookup import lookup_cols
 from miniraytracer_tpu.ops.vecmath import V3, vdot, vsdot, vnormalize, vwhere
 from miniraytracer_tpu.scene import types as T
 
@@ -117,13 +118,14 @@ def _sphere_center_cols(scene: T.SceneData, s: slice, time):
     )
 
 
-def _sphere_center_at(scene: T.SceneData, idx, time) -> V3:
-    """(N,) center components for per-ray sphere rows `idx` (gather form)."""
-    c0 = V3(scene.sph_c0[idx, 0], scene.sph_c0[idx, 1], scene.sph_c0[idx, 2])
-    c1 = V3(scene.sph_c1[idx, 0], scene.sph_c1[idx, 1], scene.sph_c1[idx, 2])
-    t0 = scene.sph_t0[idx]
-    t1 = scene.sph_t1[idx]
-    mov = scene.sph_moving[idx]
+def _sphere_center_static(scene: T.SceneData, si: int, time) -> V3:
+    """Center of sphere row `si` (STATIC python index — no gather) at ray
+    times `time` (N,). Used by light-pdf code where the row is known."""
+    c0 = V3(scene.sph_c0[si, 0], scene.sph_c0[si, 1], scene.sph_c0[si, 2])
+    c1 = V3(scene.sph_c1[si, 0], scene.sph_c1[si, 1], scene.sph_c1[si, 2])
+    t0 = scene.sph_t0[si]
+    t1 = scene.sph_t1[si]
+    mov = scene.sph_moving[si]
     denom = jnp.where(mov > 0, t1 - t0, 1.0)
     f = jnp.where(mov > 0, (time - t0) / denom, 0.0)
     return c0 + (c1 - c0) * f
@@ -158,13 +160,24 @@ def sphere_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
 
 def sphere_record(scene: T.SceneData, rays: Rays, t, idx):
     """Hit record for sphere `idx` at parameter `t` (sphere.cpp:22-45)."""
-    cen = _sphere_center_at(scene, idx, rays.time)
+    (c0x, c0y, c0z, c1x, c1y, c1z, t0, t1, mov, rad, mat) = lookup_cols(
+        idx,
+        (
+            scene.sph_c0[:, 0], scene.sph_c0[:, 1], scene.sph_c0[:, 2],
+            scene.sph_c1[:, 0], scene.sph_c1[:, 1], scene.sph_c1[:, 2],
+            scene.sph_t0, scene.sph_t1, scene.sph_moving,
+            scene.sph_radius, scene.sph_mat,
+        ),
+    )
+    denom = jnp.where(mov > 0, t1 - t0, 1.0)
+    f = jnp.where(mov > 0, (rays.time - t0) / denom, 0.0)
+    c0 = V3(c0x, c0y, c0z)
+    cen = c0 + (V3(c1x, c1y, c1z) - c0) * f
     p = rays.ro + rays.rd * t
-    rad = scene.sph_radius[idx]
     # padded/inactive rows carry radius 0 — inf here becomes NaN through the
     # downstream normalize and masked selects can't scrub NaN cotangents
-    rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
-    n = (p - cen) / rad  # negative radius flips normal
+    safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
+    n = (p - cen) / safe_rad  # negative radius flips normal
     # for true hits |p-cen| == |radius| so this is an exact no-op (and keeps
     # the hollow-sphere sign flip); for masked lanes (caller selects by type)
     # it bounds the garbage magnitude so downstream masked branches can't
@@ -182,7 +195,7 @@ def sphere_record(scene: T.SceneData, rays: Rays, t, idx):
     )
     u = 0.5 - phi / (2.0 * jnp.pi)
     v = 0.5 + theta / jnp.pi
-    return p, n, u, v, scene.sph_mat[idx]
+    return p, n, u, v, mat
 
 
 # ---------------------------------------------------------------------------
@@ -237,15 +250,26 @@ def rect_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
 
 def rect_record(scene: T.SceneData, rays: Rays, t, idx):
     p = rays.ro + rays.rd * t
-    ei = V3(scene.rect_ei[idx, 0], scene.rect_ei[idx, 1], scene.rect_ei[idx, 2])
-    ej = V3(scene.rect_ej[idx, 0], scene.rect_ej[idx, 1], scene.rect_ej[idx, 2])
-    ek = V3(scene.rect_ek[idx, 0], scene.rect_ek[idx, 1], scene.rect_ek[idx, 2])
+    (eix, eiy, eiz, ejx, ejy, ejz, ekx, eky, ekz,
+     i0, i1, j0, j1, sign, mat) = lookup_cols(
+        idx,
+        (
+            scene.rect_ei[:, 0], scene.rect_ei[:, 1], scene.rect_ei[:, 2],
+            scene.rect_ej[:, 0], scene.rect_ej[:, 1], scene.rect_ej[:, 2],
+            scene.rect_ek[:, 0], scene.rect_ek[:, 1], scene.rect_ek[:, 2],
+            scene.rect_i0, scene.rect_i1, scene.rect_j0, scene.rect_j1,
+            scene.rect_sign, scene.rect_mat,
+        ),
+    )
+    ei = V3(eix, eiy, eiz)
+    ej = V3(ejx, ejy, ejz)
+    ek = V3(ekx, eky, ekz)
     ii = vdot(p, ei)
     jj = vdot(p, ej)
-    u = (ii - scene.rect_i0[idx]) / (scene.rect_i1[idx] - scene.rect_i0[idx])
-    v = (jj - scene.rect_j0[idx]) / (scene.rect_j1[idx] - scene.rect_j0[idx])
-    n = ek * scene.rect_sign[idx]
-    return p, n, u, v, scene.rect_mat[idx]
+    u = (ii - i0) / (i1 - i0)
+    v = (jj - j0) / (j1 - j0)
+    n = ek * sign
+    return p, n, u, v, mat
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +316,22 @@ def tri_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
 
 
 def tri_record(scene: T.SceneData, rays: Rays, t, idx):
-    m = V3(scene.tri_m[idx, 0], scene.tri_m[idx, 1], scene.tri_m[idx, 2])
-    u = V3(scene.tri_u[idx, 0], scene.tri_u[idx, 1], scene.tri_u[idx, 2])
-    v = V3(scene.tri_v[idx, 0], scene.tri_v[idx, 1], scene.tri_v[idx, 2])
+    (mx, my, mz, ux, uy, uz, vx, vy, vz,
+     mnx, mny, mnz, unx, uny, unz, vnx, vny, vnz, mat) = lookup_cols(
+        idx,
+        (
+            scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2],
+            scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2],
+            scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2],
+            scene.tri_mn[:, 0], scene.tri_mn[:, 1], scene.tri_mn[:, 2],
+            scene.tri_un[:, 0], scene.tri_un[:, 1], scene.tri_un[:, 2],
+            scene.tri_vn[:, 0], scene.tri_vn[:, 1], scene.tri_vn[:, 2],
+            scene.tri_mat,
+        ),
+    )
+    m = V3(mx, my, mz)
+    u = V3(ux, uy, uz)
+    v = V3(vx, vy, vz)
     pvec = vm.vcross(rays.rd, v)
     det = vdot(u, pvec)
     sign = jnp.where((rays.inside > 0) & (det < 0.0), -1.0, 1.0)
@@ -309,12 +346,12 @@ def tri_record(scene: T.SceneData, rays: Rays, t, idx):
     uu = uu * inv
     vv = vv * inv
     p = rays.ro + rays.rd * t
-    mn = V3(scene.tri_mn[idx, 0], scene.tri_mn[idx, 1], scene.tri_mn[idx, 2])
-    un = V3(scene.tri_un[idx, 0], scene.tri_un[idx, 1], scene.tri_un[idx, 2])
-    vn = V3(scene.tri_vn[idx, 0], scene.tri_vn[idx, 1], scene.tri_vn[idx, 2])
+    mn = V3(mnx, mny, mnz)
+    un = V3(unx, uny, unz)
+    vn = V3(vnx, vny, vnz)
     # smooth normal interpolation, normalized (triangle.cpp:261)
     n = vnormalize(mn * (1.0 - uu - vv) + un * uu + vn * vv)
-    return p, n, uu, vv, scene.tri_mat[idx]
+    return p, n, uu, vv, mat
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +514,10 @@ def scene_hit(scene: T.SceneData, rays: Rays, u_volume=None, tmin=TMIN) -> HitRe
             jnp.where(
                 is_t,
                 m_t3,
-                scene.vol_mat[jnp.where(ptype == T.PRIM_VOLUME, safe_idx, 0)],
+                lookup_cols(
+                    jnp.where(ptype == T.PRIM_VOLUME, safe_idx, 0),
+                    (scene.vol_mat,),
+                )[0],
             ),
         ),
     ).astype(jnp.int32)
