@@ -38,6 +38,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: the 500x500 fwd+bwd program is expensive to
+    # compile and identical across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import jax.numpy as jnp
 
     from miniraytracer_tpu.models import integrator as integ

@@ -269,7 +269,7 @@ class SceneBuilder:
             img_hw = np.array([[1, 1]], np.int32)
         # encode per-image true size into padded rows of tex table via scale?
         # Simpler: stash hw in unused tex_c1 slot for image textures.
-        xc1 = np.asarray(xc1)
+        xc1 = np.array(xc1)  # mutable copy (np.asarray of a jax array is read-only)
         for xi, t in enumerate(self.textures):
             if t[0] == T.TEX_IMAGE:
                 h, w = img_hw[t[4]]
