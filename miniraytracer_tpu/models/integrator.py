@@ -66,7 +66,7 @@ def _background(scene: T.SceneData, rd: V3) -> V3:
     return V3.zeros(rd.x.shape)
 
 
-def _shade_and_advance(scene, rays, keys_b, depth_ok, alive, beta, radiance):
+def _shade_and_advance(scene, rays, keys_b, depth_ok, alive, beta, radiance, accel=None):
     """Shared bounce core: intersect, shade, accumulate; returns
     (rec, sc, cont, beta', radiance')."""
     if scene.n_volumes > 0:
@@ -76,7 +76,7 @@ def _shade_and_advance(scene, rays, keys_b, depth_ok, alive, beta, radiance):
         )
     else:
         u_vol = None
-    rec = ix.scene_hit(scene, rays, u_vol)
+    rec = ix.scene_hit(scene, rays, u_vol, accel=accel)
     sc = mat_mod.shade(scene, rays, rec, keys_b, depth_ok)
 
     # miss -> background, path dies
@@ -93,13 +93,13 @@ def _shade_and_advance(scene, rays, keys_b, depth_ok, alive, beta, radiance):
     return rec, sc, cont, beta, radiance
 
 
-def _bounce(scene: T.SceneData, state: PathState, depth, max_bounces) -> PathState:
+def _bounce(scene: T.SceneData, state: PathState, depth, max_bounces, accel=None) -> PathState:
     """One wavefront bounce for every ray (dead lanes masked)."""
     rays = ix.Rays(ro=state.ro, rd=state.rd, time=state.time, inside=state.inside)
     keys_b = rng.fold(state.keys, depth)
     depth_ok = depth < max_bounces
     rec, sc, cont, beta, radiance = _shade_and_advance(
-        scene, rays, keys_b, depth_ok, state.alive, state.beta, state.radiance
+        scene, rays, keys_b, depth_ok, state.alive, state.beta, state.radiance, accel
     )
     return PathState(
         ro=vwhere(cont, rec.p, state.ro),
@@ -147,13 +147,15 @@ def trace_paths(scene: T.SceneData, rays0: ix.Rays, keys, max_bounces: int, loop
 
         state, _ = jax.lax.scan(body, state, jnp.arange(max_bounces + 1))
     else:
+        accel = ix.make_accel(scene)
+
         def cond(carry):
             depth, s = carry
             return (depth <= max_bounces) & jnp.any(s.alive)
 
         def body(carry):
             depth, s = carry
-            return depth + 1, _bounce(scene, s, depth, max_bounces)
+            return depth + 1, _bounce(scene, s, depth, max_bounces, accel)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return state.radiance, state.rays_traced
@@ -179,14 +181,14 @@ class WaveState(NamedTuple):
     rays_traced: jnp.ndarray
 
 
-def _wave_bounce(scene, s: WaveState, max_bounces) -> WaveState:
+def _wave_bounce(scene, s: WaveState, max_bounces, accel=None) -> WaveState:
     """One wavefront step with per-lane depth (regeneration variant of
     _bounce; same estimator semantics, SURVEY.md section 3.3)."""
     rays = ix.Rays(ro=s.ro, rd=s.rd, time=s.time, inside=s.inside)
     keys_b = rng.fold(s.keys, s.depth)
     depth_ok = s.depth < max_bounces
     rec, sc, cont, beta, radiance = _shade_and_advance(
-        scene, rays, keys_b, depth_ok, s.alive, s.beta, s.radiance
+        scene, rays, keys_b, depth_ok, s.alive, s.beta, s.radiance, accel
     )
     return s._replace(
         ro=vwhere(cont, rec.p, s.ro),
@@ -252,11 +254,13 @@ def render_wavefront_pixels(
         rays_traced=jnp.float32(0.0),
     )
 
+    accel = ix.make_accel(scene)
+
     def cond(s):
         return jnp.any(s.alive)
 
     def body(s):
-        s = _wave_bounce(scene, s, max_bounces)
+        s = _wave_bounce(scene, s, max_bounces, accel)
         finished = ~s.alive & (s.count < ns)
         # ---- fold the finished sample into the running average ----
         cnt_f = s.count.astype(jnp.float32)

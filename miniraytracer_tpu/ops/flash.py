@@ -1,0 +1,420 @@
+"""Flash-intersect: MXU triangle intersection as a Pallas megakernel.
+
+The brute-force triangle sweep (ops/intersect.tri_ts) is VPU-bound: ~60
+elementwise flops per (ray, triangle) at ~0.5 TFLOP/s effective. The MXU
+(128x128 systolic array) has ~2 orders of magnitude more FLOPs — and
+Moller-Trumbore is *algebraically bilinear* in (ray origin, ray direction),
+so the four per-pair quantities
+
+    raw_det =  rd . (v x u)                     (u . pvec in triangle.cpp:246)
+    raw_uu  = (ro - m) . (rd x v)               (tvec . pvec)
+    raw_vv  =  rd . ((ro - m) x u)              (rd . qvec)
+    raw_tn  = (ro - m) . (u x v)                (v . qvec)
+
+are each an inner product  <per-triangle coefficients (16), ray features
+(16)>  with the shared feature vector
+
+    F(ray) = [1, ro, rd, ro (x) rd]   (1 + 3 + 3 + 9)
+
+built from the scalar-triple-product expansions (derivation in
+`_tri_coefficients`). The whole sweep becomes four (T,16)x(16,N) matmuls.
+
+Flash structure (the flash-attention trick applied to intersection): the
+(T, N) products never reach HBM — the kernel streams triangle-coefficient
+blocks through VMEM, computes the validity/t epilogue on the VPU, and
+keeps a running (min-t, argmin) accumulator in VMEM scratch across the
+inner grid dimension. HBM traffic is O(rays + triangles), not O(rays x
+triangles).
+
+The backface rule (hit backfaces only when ray.isInside, triangle.cpp:
+226-235) folds in exactly: flipping the sign of det/uu/vv leaves
+t = raw_tn/raw_det unchanged, so validity uses sign-adjusted values and t
+uses the raw ratio.
+
+Used for the forward/while-loop path on TPU when the triangle count makes
+it worthwhile; the XLA path remains for AD (scan mode) and other backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniraytracer_tpu.ops.vecmath import V3
+
+try:  # Pallas import kept optional: CPU-only envs use the XLA path
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+INF = 3.0e38  # python float: jnp scalars captured in a Pallas kernel error out
+TRI_EPS = 1e-5  # triangle.cpp:220
+
+RAY_BLOCK = 1024
+TRI_BLOCK = 256
+NUM_FEATURES = 16
+
+
+def _cross_cols(a: V3, b: V3):
+    return (
+        a.y * b.z - a.z * b.y,
+        a.z * b.x - a.x * b.z,
+        a.x * b.y - a.y * b.x,
+    )
+
+
+def tri_coefficients(m: V3, u: V3, v: V3, active):
+    """Per-triangle coefficient rows (T, 16) for det/uu/vv/tn.
+
+    Expansions (e_ijk = Levi-Civita; all '.'/'x' are 3-vector ops):
+      raw_det = rd.(v x u)
+              -> rd-linear coeffs (v x u)
+      raw_uu  = ro.(rd x v) - m.(rd x v)
+              = sum_ij ro_i rd_j [sum_k e_ijk v_k]  +  rd.(v x m)
+              -> ro(x)rd coeffs A_ij = e_ijk v_k, rd coeffs (v x m)
+      raw_vv  = rd.((ro-m) x u) = sum_ij ro_i rd_j [-e_ijk u_k] + rd.(u x m)...
+              rd.(ro x u): e_jik terms -> ro(x)rd coeffs B_ij = -e_ijk u_k
+                (since rd.(ro x u) = sum_j rd_j e_jkl ro_k u_l
+                 = sum_kj ro_k rd_j e_jkl u_l = sum_ij ro_i rd_j [e_jil u_l])
+              and  -rd.(m x u)*... handled below numerically-safe via the
+              same triple-product identities:
+                rd.((ro-m) x u) = -ro.(rd x u) + m.(rd x u)
+              -> ro(x)rd coeffs -e_ijk u_k, rd coeffs -(u x m)
+      raw_tn  = (ro-m).(u x v) -> const -m.(u x v), ro coeffs (u x v)
+
+    Inactive rows get all-zero coefficients (det = 0 => never valid).
+    Feature order: [1, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
+                    ro.x*rd.x, ro.x*rd.y, ro.x*rd.z,
+                    ro.y*rd.x, ro.y*rd.y, ro.y*rd.z,
+                    ro.z*rd.x, ro.z*rd.y, ro.z*rd.z]
+    """
+    t_count = m.x.shape[0]
+    zeros = jnp.zeros((t_count,), jnp.float32)
+
+    def rows(const, ro_c, rd_c, ord_c):
+        # ord_c: dict {(i,j): coeff} for ro_i * rd_j features
+        cols = [const]
+        cols += list(ro_c)
+        cols += list(rd_c)
+        for i in range(3):
+            for j in range(3):
+                cols.append(ord_c.get((i, j), zeros))
+        return jnp.stack(cols, axis=1)  # (T, 16)
+
+    vxu = _cross_cols(v, u)
+    vxm = _cross_cols(v, m)
+    uxm = _cross_cols(u, m)
+    uxv = _cross_cols(u, v)
+
+    # e_ijk v_k as {(i,j)}: e_012=+1 e_021=-1 e_120=+1 e_102=-1 e_201=+1 e_210=-1
+    def eps_outer(w: tuple, sign=1.0):
+        wx, wy, wz = w
+        s = sign
+        return {
+            (0, 1): s * wz, (0, 2): -s * wy,
+            (1, 0): -s * wz, (1, 2): s * wx,
+            (2, 0): s * wy, (2, 1): -s * wx,
+        }
+
+    c_det = rows(zeros, (zeros, zeros, zeros), vxu, {})
+    # -m.(rd x v): rd_j coefficient is (m x v)_j = -(v x m)_j
+    c_uu = rows(
+        zeros, (zeros, zeros, zeros),
+        tuple(-x for x in vxm), eps_outer((v.x, v.y, v.z)),
+    )
+    # -rd.(m x u): rd_j coefficient is (u x m)_j
+    c_vv = rows(
+        zeros, (zeros, zeros, zeros),
+        uxm, eps_outer((u.x, u.y, u.z), sign=-1.0),
+    )
+    c_tn = rows(
+        -(m.x * uxv[0] + m.y * uxv[1] + m.z * uxv[2]),
+        uxv, (zeros, zeros, zeros), {},
+    )
+    act = active.astype(jnp.float32)[:, None]
+    return c_det * act, c_uu * act, c_vv * act, c_tn * act
+
+
+def ray_features(ro: V3, rd: V3):
+    """(16, N) feature matrix (rays on the lane axis)."""
+    n = ro.x.shape[0]
+    rows = [jnp.ones((n,), jnp.float32), ro.x, ro.y, ro.z, rd.x, rd.y, rd.z]
+    for o in (ro.x, ro.y, ro.z):
+        for d in (rd.x, rd.y, rd.z):
+            rows.append(o * d)
+    return jnp.stack(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Spheres (incl. moving): quadratic coefficients as ray-feature inner products
+# ---------------------------------------------------------------------------
+
+
+def sphere_coefficients(scene):
+    """Per-sphere coefficient rows (S, 16) for the quadratic (b, c).
+
+    The moving-center lerp (sphere.h:24-31) is AFFINE in ray time:
+        cen(time) = P + time * Q,  P = c0 + beta*dc, Q = alpha*dc,
+        alpha = mov/(t1-t0), beta = -mov*t0/(t1-t0), dc = c1-c0
+    so with oc = ro - cen:
+        b = oc.rd      = (ro.rd) - P.rd - time*(Q.rd)
+        c = |oc|^2-r^2 = |ro|^2 - 2 ro.P - 2 time (ro.Q)
+                         + (|P|^2 - r^2) + 2 time (P.Q) + time^2 |Q|^2
+    Feature order: [1, ro(3), rd(3), ro.rd, |ro|2, time, time^2,
+                    time*ro(3), time*rd(3)]  (16 total).
+    Inactive rows get c-const = +INF/2 (disc < 0 => never hit).
+    """
+    c0 = V3(scene.sph_c0[:, 0], scene.sph_c0[:, 1], scene.sph_c0[:, 2])
+    c1 = V3(scene.sph_c1[:, 0], scene.sph_c1[:, 1], scene.sph_c1[:, 2])
+    t0, t1 = scene.sph_t0, scene.sph_t1
+    mov = scene.sph_moving
+    r = scene.sph_radius
+    denom = jnp.where(mov > 0, t1 - t0, 1.0)
+    alpha = jnp.where(mov > 0, 1.0 / denom, 0.0)
+    beta = jnp.where(mov > 0, -t0 / denom, 0.0)
+    dc = c1 - c0
+    P = c0 + dc * beta
+    Q = dc * alpha
+
+    s_count = r.shape[0]
+    zeros = jnp.zeros((s_count,), jnp.float32)
+
+    def row(const, ro_c, rd_c, rord, rosq, t_c, t2_c, tro_c, trd_c):
+        return jnp.stack(
+            [const, *ro_c, *rd_c, rord, rosq, t_c, t2_c, *tro_c, *trd_c], axis=1
+        )
+
+    z3 = (zeros, zeros, zeros)
+    ones = jnp.ones((s_count,), jnp.float32)
+    cb = row(zeros, z3, (-P.x, -P.y, -P.z), ones, zeros, zeros, zeros,
+             z3, (-Q.x, -Q.y, -Q.z))
+    psq = P.x * P.x + P.y * P.y + P.z * P.z
+    pq = P.x * Q.x + P.y * Q.y + P.z * Q.z
+    qsq = Q.x * Q.x + Q.y * Q.y + Q.z * Q.z
+    inactive = ~scene.sph_active
+    cc = row(
+        psq - r * r + jnp.where(inactive, INF * 0.5, 0.0),
+        (-2.0 * P.x, -2.0 * P.y, -2.0 * P.z), z3,
+        zeros, ones, 2.0 * pq, qsq, (-2.0 * Q.x, -2.0 * Q.y, -2.0 * Q.z), z3,
+    )
+    return cb, cc
+
+
+def sphere_ray_features(ro: V3, rd: V3, time):
+    """(16, N) features for the sphere quadratic (see sphere_coefficients)."""
+    n = ro.x.shape[0]
+    rows = [
+        jnp.ones((n,), jnp.float32),
+        ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
+        ro.x * rd.x + ro.y * rd.y + ro.z * rd.z,
+        ro.x * ro.x + ro.y * ro.y + ro.z * ro.z,
+        time, time * time,
+        time * ro.x, time * ro.y, time * ro.z,
+        time * rd.x, time * rd.y, time * rd.z,
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _sphere_kernel(cb_ref, cc_ref, f_ref, inside_ref, tmin_ref,
+                   t_out_ref, i_out_ref, best_t_ref, best_i_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t_ref[:] = jnp.full_like(best_t_ref, INF)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    f = f_ref[:]  # (16, NB)
+    b = jnp.dot(cb_ref[:], f, preferred_element_type=jnp.float32)  # (SB, NB)
+    c = jnp.dot(cc_ref[:], f, preferred_element_type=jnp.float32)
+
+    inside = inside_ref[:]  # (1, NB)
+    tmin = tmin_ref[0]
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_front = -b - sq
+    t_back = -b + sq
+    ok = disc > 0.0
+    front_ok = ok & (t_front > tmin)
+    back_ok = ok & (inside > 0.0) & (t_back > tmin)
+    cand = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
+    local_min = jnp.min(cand, axis=0, keepdims=True)
+    local_arg = jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :] + j * cand.shape[0]
+
+    better = local_min < best_t_ref[:]
+    best_t_ref[:] = jnp.where(better, local_min, best_t_ref[:])
+    best_i_ref[:] = jnp.where(better, local_arg, best_i_ref[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        t_out_ref[:] = best_t_ref[:]
+        i_out_ref[:] = best_i_ref[:]
+
+
+def _kernel(cdet_ref, cuu_ref, cvv_ref, ctn_ref, f_ref, inside_ref, tmin_ref,
+            t_out_ref, i_out_ref, best_t_ref, best_i_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t_ref[:] = jnp.full_like(best_t_ref, INF)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    f = f_ref[:]  # (16, NB)
+    det = jnp.dot(cdet_ref[:], f, preferred_element_type=jnp.float32)  # (TB, NB)
+    uu = jnp.dot(cuu_ref[:], f, preferred_element_type=jnp.float32)
+    vv = jnp.dot(cvv_ref[:], f, preferred_element_type=jnp.float32)
+    tn = jnp.dot(ctn_ref[:], f, preferred_element_type=jnp.float32)
+
+    inside = inside_ref[:]  # (1, NB) f32: 1.0 when ray.isInside > 0
+    tmin = tmin_ref[0]
+    # backface flip (triangle.cpp:226-235): allowed only when inside
+    sign = jnp.where((inside > 0.0) & (det < 0.0), -1.0, 1.0)
+    sdet = det * sign
+    suu = uu * sign
+    svv = vv * sign
+    t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+    valid = (
+        (sdet >= TRI_EPS)
+        & (suu >= 0.0) & (suu <= sdet)
+        & (svv >= 0.0) & (suu + svv <= sdet)
+        & (t >= tmin)
+    )
+    cand = jnp.where(valid, t, INF)
+    local_min = jnp.min(cand, axis=0, keepdims=True)  # (1, NB)
+    local_arg = jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :] + j * cand.shape[0]
+
+    better = local_min < best_t_ref[:]
+    best_t_ref[:] = jnp.where(better, local_min, best_t_ref[:])
+    best_i_ref[:] = jnp.where(better, local_arg, best_i_ref[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        t_out_ref[:] = best_t_ref[:]
+        i_out_ref[:] = best_i_ref[:]
+
+
+def _pad_to(x, mult, axis, value):
+    size = x.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, rem)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def flash_tri_hit(coeffs, ro: V3, rd: V3, inside, tmin, *, interpret=False):
+    """Closest triangle hit over ALL triangles for each ray.
+
+    coeffs: (c_det, c_uu, c_vv, c_tn) each (T, 16) from `tri_coefficients`.
+    Returns (t (N,) with INF miss, idx (N,) i32).
+    """
+    c_det, c_uu, c_vv, c_tn = coeffs
+    n = ro.x.shape[0]
+    f = ray_features(ro, rd)  # (16, N)
+    f = _pad_to(f, RAY_BLOCK, 1, 0.0)
+    inside_f = _pad_to(
+        (inside > 0).astype(jnp.float32)[None, :], RAY_BLOCK, 1, 0.0
+    )
+    cds = [_pad_to(c, TRI_BLOCK, 0, 0.0) for c in (c_det, c_uu, c_vv, c_tn)]
+    n_pad = f.shape[1]
+    t_pad = cds[0].shape[0]
+    grid = (n_pad // RAY_BLOCK, t_pad // TRI_BLOCK)
+
+    c_spec = pl.BlockSpec(
+        (TRI_BLOCK, NUM_FEATURES), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
+    t_out, i_out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            c_spec, c_spec, c_spec, c_spec,
+            pl.BlockSpec((NUM_FEATURES, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cds[0], cds[1], cds[2], cds[3], f, inside_f, jnp.full((1,), tmin, jnp.float32))
+    return t_out[0, :n], i_out[0, :n]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def flash_sphere_hit(coeffs, ro: V3, rd: V3, time, inside, tmin, *, interpret=False):
+    """Closest sphere hit over ALL spheres for each ray (front root, back
+    root only when inside — sphere.cpp:33-43). Returns (t, idx)."""
+    cb, cc = coeffs
+    n = ro.x.shape[0]
+    f = _pad_to(sphere_ray_features(ro, rd, time), RAY_BLOCK, 1, 0.0)
+    inside_f = _pad_to(
+        (inside > 0).astype(jnp.float32)[None, :], RAY_BLOCK, 1, 0.0
+    )
+    cbs = _pad_to(cb, TRI_BLOCK, 0, 0.0)
+    # pad cc with +INF/2 const col? padding rows are all-zero -> disc = b^2
+    # with b = 0 -> disc = 0 -> not > 0 -> invalid. Safe as-is.
+    ccs = _pad_to(cc, TRI_BLOCK, 0, 0.0)
+    n_pad = f.shape[1]
+    s_pad = cbs.shape[0]
+    grid = (n_pad // RAY_BLOCK, s_pad // TRI_BLOCK)
+
+    c_spec = pl.BlockSpec(
+        (TRI_BLOCK, NUM_FEATURES), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
+    t_out, i_out = pl.pallas_call(
+        _sphere_kernel,
+        grid=grid,
+        in_specs=[
+            c_spec, c_spec,
+            pl.BlockSpec((NUM_FEATURES, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cbs, ccs, f, inside_f, jnp.full((1,), tmin, jnp.float32))
+    return t_out[0, :n], i_out[0, :n]

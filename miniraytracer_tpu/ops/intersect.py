@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from miniraytracer_tpu.ops import vecmath as vm
@@ -438,25 +439,66 @@ def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
 # Full-scene closest hit
 # ---------------------------------------------------------------------------
 
+FLASH_MIN_TRIS = 64  # below this the XLA sweep beats kernel launch overhead
+FLASH_MIN_SPHERES = 64
 
-def scene_hit(scene: T.SceneData, rays: Rays, u_volume=None, tmin=TMIN) -> HitRecord:
+
+def make_accel(scene: T.SceneData):
+    """Optional per-trace acceleration state (compute ONCE outside the bounce
+    loop): Pallas flash-intersect coefficients for the triangle and sphere
+    sweeps on TPU. Returns None/partial when the XLA path should be used
+    (small scenes, non-TPU backends, or AD — the flash kernels have no VJP).
+    """
+    from miniraytracer_tpu.ops import flash
+
+    if not (flash.HAVE_PALLAS and jax.default_backend() == "tpu"):
+        return None
+    accel = {}
+    if scene.n_tris >= FLASH_MIN_TRIS:
+        m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+        u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+        v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+        accel["tri"] = flash.tri_coefficients(m, u, v, scene.tri_active)
+    if scene.n_spheres >= FLASH_MIN_SPHERES:
+        accel["sph"] = flash.sphere_coefficients(scene)
+    return accel or None
+
+
+def scene_hit(
+    scene: T.SceneData, rays: Rays, u_volume=None, tmin=TMIN, accel=None
+) -> HitRecord:
     """Closest hit over all primitive types -> full HitRecord.
 
     `u_volume` (N, n_volumes) uniforms drive volume free-path sampling; pass
     None for scenes without volumes (or to skip volume scattering).
+    `accel` is the optional make_accel() state.
     """
     n = rays.time.shape[0]
     tmax0 = jnp.full((n,), INF)
 
-    t_s, i_s = _chunked_min(
-        lambda s, c: sphere_ts(scene, rays, s, c, tmin, tmax0), scene.n_spheres, n
-    )
+    if accel is not None and "sph" in accel:
+        from miniraytracer_tpu.ops import flash
+
+        t_s, i_s = flash.flash_sphere_hit(
+            accel["sph"], rays.ro, rays.rd, rays.time, rays.inside, tmin
+        )
+    else:
+        t_s, i_s = _chunked_min(
+            lambda s, c: sphere_ts(scene, rays, s, c, tmin, tmax0), scene.n_spheres, n
+        )
     t_r, i_r = _chunked_min(
         lambda s, c: rect_ts(scene, rays, s, c, tmin, tmax0), scene.n_rects, n
     )
-    t_t, i_t = _chunked_min(
-        lambda s, c: tri_ts(scene, rays, s, c, tmin, tmax0), scene.n_tris, n
-    )
+    if accel is not None and "tri" in accel:
+        from miniraytracer_tpu.ops import flash
+
+        t_t, i_t = flash.flash_tri_hit(
+            accel["tri"], rays.ro, rays.rd, rays.inside, tmin
+        )
+    else:
+        t_t, i_t = _chunked_min(
+            lambda s, c: tri_ts(scene, rays, s, c, tmin, tmax0), scene.n_tris, n
+        )
 
     # combine surface types
     t_surf = jnp.minimum(jnp.minimum(t_s, t_r), t_t)

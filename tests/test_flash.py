@@ -1,0 +1,124 @@
+"""Flash-intersect kernels (interpret mode) vs the XLA sweep.
+
+The coefficients recast Moller-Trumbore / the sphere quadratic as
+ray-feature inner products (ops/flash.py docstring); these tests pin both
+the algebra and the Pallas kernel (hit set, winner index, t values) against
+the reference XLA path on real scene geometry.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miniraytracer_tpu.ops import flash, intersect as ix
+from miniraytracer_tpu.ops.vecmath import V3, vnormalize
+from miniraytracer_tpu.models.scenes import random_spheres, triangles
+
+if not flash.HAVE_PALLAS:  # pragma: no cover
+    pytest.skip("pallas unavailable", allow_module_level=True)
+
+
+def _rand_rays(rng, n, lo, hi, y=(0.1, 3.0)):
+    ro = V3(
+        jnp.asarray(rng.uniform(lo, hi, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(*y, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(lo, hi, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32)) for _ in range(3)]))
+    return ro, rd
+
+
+def test_flash_tri_matches_xla_sweep():
+    scene = triangles(1.0)
+    rng = np.random.default_rng(1)
+    n = 1024
+    ro = V3(
+        jnp.asarray(rng.uniform(100, 450, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(100, 450, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-800, -100, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(
+        jnp.asarray(rng.standard_normal(n).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(n).astype(np.float32)),
+        jnp.abs(jnp.asarray(rng.standard_normal(n).astype(np.float32))),
+    ))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+    rays = ix.Rays(ro=ro, rd=rd, time=jnp.zeros(n), inside=inside)
+    tmax0 = jnp.full((n,), ix.INF)
+    t_ref, i_ref = ix._chunked_min(
+        lambda s, c: ix.tri_ts(scene, rays, s, c, ix.TMIN, tmax0), scene.n_tris, n
+    )
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+    t_fl, i_fl = flash.flash_tri_hit(coeffs, ro, rd, inside, ix.TMIN, interpret=True)
+
+    t_ref, t_fl = np.asarray(t_ref), np.asarray(t_fl)
+    hit_ref, hit_fl = t_ref < 1e38, t_fl < 1e38
+    # identical hit sets up to edge-grazing f32 ties (<0.5% allowed)
+    assert (hit_ref == hit_fl).mean() > 0.995
+    both = hit_ref & hit_fl
+    np.testing.assert_allclose(t_fl[both], t_ref[both], rtol=5e-4, atol=2e-2)
+    assert (np.asarray(i_ref)[both] == np.asarray(i_fl)[both]).mean() > 0.995
+
+
+def test_flash_sphere_matches_xla_sweep():
+    scene = random_spheres(1.0)  # includes MOVING spheres
+    rng = np.random.default_rng(2)
+    n = 1024
+    ro, rd = _rand_rays(rng, n, -12, 12)
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+    rays = ix.Rays(ro=ro, rd=rd, time=time, inside=inside)
+    tmax0 = jnp.full((n,), ix.INF)
+    t_ref, i_ref = ix._chunked_min(
+        lambda s, c: ix.sphere_ts(scene, rays, s, c, ix.TMIN, tmax0),
+        scene.n_spheres, n,
+    )
+    coeffs = flash.sphere_coefficients(scene)
+    t_fl, i_fl = flash.flash_sphere_hit(
+        coeffs, ro, rd, time, inside, ix.TMIN, interpret=True
+    )
+    t_ref, t_fl = np.asarray(t_ref), np.asarray(t_fl)
+    hit_ref, hit_fl = t_ref < 1e38, t_fl < 1e38
+    assert (hit_ref == hit_fl).mean() > 0.995
+    both = hit_ref & hit_fl
+    np.testing.assert_allclose(t_fl[both], t_ref[both], rtol=2e-3, atol=2e-2)
+    assert (np.asarray(i_ref)[both] == np.asarray(i_fl)[both]).mean() > 0.995
+
+
+def test_scene_hit_with_accel_dict_matches_plain():
+    """scene_hit(accel=...) must agree with the plain path (interpret)."""
+    scene = triangles(1.0)
+    rng = np.random.default_rng(3)
+    n = 256
+    ro = V3(
+        jnp.full((n,), 278.0), jnp.full((n,), 278.0), jnp.full((n,), -790.0)
+    )
+    rd = vnormalize(V3(
+        jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32)),
+        jnp.ones((n,), jnp.float32),
+    ))
+    rays = ix.Rays(ro=ro, rd=rd, time=jnp.zeros(n), inside=jnp.zeros(n, jnp.int32))
+    rec0 = ix.scene_hit(scene, rays)
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    from functools import partial
+    import miniraytracer_tpu.ops.flash as fl
+
+    accel = {"tri": fl.tri_coefficients(m, u, v, scene.tri_active)}
+    orig = fl.flash_tri_hit
+    fl.flash_tri_hit = partial(orig, interpret=True)
+    try:
+        rec1 = ix.scene_hit(scene, rays, accel=accel)
+    finally:
+        fl.flash_tri_hit = orig
+    agree = np.asarray(rec0.hit) == np.asarray(rec1.hit)
+    assert agree.mean() > 0.99
+    both = np.asarray(rec0.hit) & np.asarray(rec1.hit)
+    np.testing.assert_allclose(
+        np.asarray(rec1.t)[both], np.asarray(rec0.t)[both], rtol=5e-4, atol=2e-2
+    )
