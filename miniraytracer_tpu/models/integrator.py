@@ -135,15 +135,18 @@ def trace_paths(scene: T.SceneData, rays0: ix.Rays, keys, max_bounces: int, loop
     # depth runs 0..max_bounces inclusive: at depth==max_bounces only
     # emission/background is collected (scatter gated by depth_ok)
     if loop == "scan":
+        # the AD path uses the custom-VJP flash kernels (hand-derived
+        # backward through the winner's t; flash.py)
+        accel = ix.make_accel(scene, differentiable=True)
         # remat each bounce: the backward sweep re-runs the forward bounce
         # instead of keeping every per-bounce intermediate live — trades
         # FLOPs for HBM, required at 500x500 x 33 bounces
         bounce = jax.checkpoint(
-            lambda sc_, s, depth: _bounce(sc_, s, depth, max_bounces)
+            lambda sc_, acc, s, depth: _bounce(sc_, s, depth, max_bounces, acc)
         )
 
         def body(s, depth):
-            return bounce(scene, s, depth), None
+            return bounce(scene, accel, s, depth), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(max_bounces + 1))
     else:

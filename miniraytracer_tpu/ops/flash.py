@@ -418,3 +418,118 @@ def flash_sphere_hit(coeffs, ro: V3, rd: V3, time, inside, tmin, *, interpret=Fa
         interpret=interpret,
     )(cbs, ccs, f, inside_f, jnp.full((1,), tmin, jnp.float32))
     return t_out[0, :n], i_out[0, :n]
+
+
+# ---------------------------------------------------------------------------
+# Hand-derived backward passes (north-star: custom VJP for the traversal/
+# intersection megakernel). The hit parameter t of the WINNING primitive is
+# the only continuous output — visibility/winner selection is discrete and
+# stop-gradiented (differentiate continuous factors only). Gradients:
+#   triangles: t = tn/det  =>  dt = (dtn - t*ddet)/det
+#   spheres:   t = -b + s*sqrt(b^2-c), s = root sign
+#              =>  dt/db = -1 + s*b/sq,  dt/dc = -s/(2*sq)
+# Cotangents w.r.t. coefficient tables are scatter-adds over winner rows,
+# computed as one-hot matmuls (the transpose of the forward lookup — MXU,
+# not TPU scatters); cotangents w.r.t. rays chain through jax.vjp of the
+# feature constructors.
+# ---------------------------------------------------------------------------
+
+
+def _rows_at(table, idx):
+    """(T, F) coefficient table -> (N, F) winner rows via MXU lookup."""
+    from miniraytracer_tpu.ops.lookup import lookup_cols
+
+    cols = lookup_cols(idx, tuple(table[:, k] for k in range(table.shape[1])))
+    return jnp.stack(cols, axis=1)
+
+
+def _scatter_rows(idx, w, t_rows):
+    """sum_n 1{idx[n]=r} * w[n, :] -> (t_rows, F), as chunked one-hot matmul
+    on TPU (exact; scatter-add elsewhere)."""
+    if jax.default_backend() != "tpu":
+        return jnp.zeros((t_rows, w.shape[1]), w.dtype).at[idx].add(w)
+    out = jnp.zeros((t_rows, w.shape[1]), jnp.float32)
+    idx32 = idx.astype(jnp.int32)
+    kc = 2048
+    for c0 in range(0, t_rows, kc):
+        c1 = min(c0 + kc, t_rows)
+        rows = jnp.arange(c0, c1, dtype=jnp.int32)
+        onehot = (rows[:, None] == idx32[None, :]).astype(jnp.float32)  # (kc, N)
+        out = out.at[c0:c1].set(
+            jnp.dot(onehot, w, preferred_element_type=jnp.float32)
+        )
+    return out
+
+
+@jax.custom_vjp
+def flash_tri_hit_d(coeffs, ro, rd, inside, tmin):
+    """Differentiable flash_tri_hit (gradients w.r.t. coeffs and rays)."""
+    return flash_tri_hit(coeffs, ro, rd, inside, tmin)
+
+
+def _tri_fwd(coeffs, ro, rd, inside, tmin):
+    t, idx = flash_tri_hit(coeffs, ro, rd, inside, tmin)
+    return (t, idx), (coeffs, ro, rd, t, idx)
+
+
+def _tri_bwd(res, cot):
+    (c_det, c_uu, c_vv, c_tn), ro, rd, t, idx = res
+    gt, _ = cot  # winner index is discrete
+    hit = t < INF * 0.5
+    f, feat_vjp = jax.vjp(ray_features, ro, rd)  # f: (16, N)
+    rows_det = _rows_at(c_det, idx)  # (N, 16)
+    rows_tn = _rows_at(c_tn, idx)
+    det_w = jnp.sum(rows_det * f.T, axis=1)
+    safe_det = jnp.where(jnp.abs(det_w) > TRI_EPS, det_w, 1.0)
+    g = jnp.where(hit, gt / safe_det, 0.0)  # (N,)
+    ts = jnp.where(hit, t, 0.0)
+    # dL/dF (16, N): g * (C_tn[idx] - t*C_det[idx]) rows
+    df = (rows_tn - rows_det * ts[:, None]).T * g[None, :]
+    d_ro, d_rd = feat_vjp(df)
+    # dL/dC rows: scatter g*F (for tn) and -g*t*F (for det)
+    w_tn = f.T * g[:, None]
+    d_c_tn = _scatter_rows(idx, w_tn, c_tn.shape[0])
+    d_c_det = _scatter_rows(idx, -w_tn * ts[:, None], c_det.shape[0])
+    zeros_c = jnp.zeros_like(c_uu)
+    return (d_c_det, zeros_c, zeros_c, d_c_tn), d_ro, d_rd, None, None
+
+
+flash_tri_hit_d.defvjp(_tri_fwd, _tri_bwd)
+
+
+@jax.custom_vjp
+def flash_sphere_hit_d(coeffs, ro, rd, time, inside, tmin):
+    """Differentiable flash_sphere_hit."""
+    return flash_sphere_hit(coeffs, ro, rd, time, inside, tmin)
+
+
+def _sph_fwd(coeffs, ro, rd, time, inside, tmin):
+    t, idx = flash_sphere_hit(coeffs, ro, rd, time, inside, tmin)
+    return (t, idx), (coeffs, ro, rd, time, t, idx)
+
+
+def _sph_bwd(res, cot):
+    (cb, cc), ro, rd, time, t, idx = res
+    gt, _ = cot
+    hit = t < INF * 0.5
+    f, feat_vjp = jax.vjp(sphere_ray_features, ro, rd, time)
+    rows_b = _rows_at(cb, idx)
+    rows_c = _rows_at(cc, idx)
+    b_w = jnp.sum(rows_b * f.T, axis=1)
+    c_w = jnp.sum(rows_c * f.T, axis=1)
+    disc = b_w * b_w - c_w
+    sq = jnp.sqrt(jnp.where(disc > 1e-12, disc, 1.0))
+    sq_ok = disc > 1e-12
+    # root sign: t_front = -b - sq <= -b <= t_back
+    s = jnp.where(t + b_w > 0, 1.0, -1.0)
+    dt_db = jnp.where(sq_ok, -1.0 + s * b_w / sq, 0.0)
+    dt_dc = jnp.where(sq_ok, -s / (2.0 * sq), 0.0)
+    g = jnp.where(hit, gt, 0.0)
+    df = (rows_b * (g * dt_db)[:, None] + rows_c * (g * dt_dc)[:, None]).T
+    d_ro, d_rd, d_time = feat_vjp(df)
+    d_cb = _scatter_rows(idx, f.T * (g * dt_db)[:, None], cb.shape[0])
+    d_cc = _scatter_rows(idx, f.T * (g * dt_dc)[:, None], cc.shape[0])
+    return (d_cb, d_cc), d_ro, d_rd, d_time, None, None
+
+
+flash_sphere_hit_d.defvjp(_sph_fwd, _sph_bwd)

@@ -443,24 +443,28 @@ FLASH_MIN_TRIS = 64  # below this the XLA sweep beats kernel launch overhead
 FLASH_MIN_SPHERES = 64
 
 
-def make_accel(scene: T.SceneData):
+def make_accel(scene: T.SceneData, differentiable: bool = False):
     """Optional per-trace acceleration state (compute ONCE outside the bounce
     loop): Pallas flash-intersect coefficients for the triangle and sphere
     sweeps on TPU. Returns None/partial when the XLA path should be used
-    (small scenes, non-TPU backends, or AD — the flash kernels have no VJP).
-    """
+    (small scenes, non-TPU backends). With `differentiable=True` the
+    custom-VJP kernel variants are used (hand-derived backward through the
+    winner's hit parameter; flash.py)."""
     from miniraytracer_tpu.ops import flash
 
     if not (flash.HAVE_PALLAS and jax.default_backend() == "tpu"):
         return None
+    # the differentiable flag is encoded in the KEY NAMES ("tri_d" vs "tri")
+    # so it stays static structure when the dict crosses jit/remat boundaries
+    suffix = "_d" if differentiable else ""
     accel = {}
     if scene.n_tris >= FLASH_MIN_TRIS:
         m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
         u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
         v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
-        accel["tri"] = flash.tri_coefficients(m, u, v, scene.tri_active)
+        accel["tri" + suffix] = flash.tri_coefficients(m, u, v, scene.tri_active)
     if scene.n_spheres >= FLASH_MIN_SPHERES:
-        accel["sph"] = flash.sphere_coefficients(scene)
+        accel["sph" + suffix] = flash.sphere_coefficients(scene)
     return accel or None
 
 
@@ -476,12 +480,18 @@ def scene_hit(
     n = rays.time.shape[0]
     tmax0 = jnp.full((n,), INF)
 
-    if accel is not None and "sph" in accel:
+    accel = accel or {}
+    if "sph" in accel or "sph_d" in accel:
         from miniraytracer_tpu.ops import flash
 
-        t_s, i_s = flash.flash_sphere_hit(
-            accel["sph"], rays.ro, rays.rd, rays.time, rays.inside, tmin
-        )
+        if "sph_d" in accel:
+            t_s, i_s = flash.flash_sphere_hit_d(
+                accel["sph_d"], rays.ro, rays.rd, rays.time, rays.inside, tmin
+            )
+        else:
+            t_s, i_s = flash.flash_sphere_hit(
+                accel["sph"], rays.ro, rays.rd, rays.time, rays.inside, tmin
+            )
     else:
         t_s, i_s = _chunked_min(
             lambda s, c: sphere_ts(scene, rays, s, c, tmin, tmax0), scene.n_spheres, n
@@ -489,12 +499,17 @@ def scene_hit(
     t_r, i_r = _chunked_min(
         lambda s, c: rect_ts(scene, rays, s, c, tmin, tmax0), scene.n_rects, n
     )
-    if accel is not None and "tri" in accel:
+    if "tri" in accel or "tri_d" in accel:
         from miniraytracer_tpu.ops import flash
 
-        t_t, i_t = flash.flash_tri_hit(
-            accel["tri"], rays.ro, rays.rd, rays.inside, tmin
-        )
+        if "tri_d" in accel:
+            t_t, i_t = flash.flash_tri_hit_d(
+                accel["tri_d"], rays.ro, rays.rd, rays.inside, tmin
+            )
+        else:
+            t_t, i_t = flash.flash_tri_hit(
+                accel["tri"], rays.ro, rays.rd, rays.inside, tmin
+            )
     else:
         t_t, i_t = _chunked_min(
             lambda s, c: tri_ts(scene, rays, s, c, tmin, tmax0), scene.n_tris, n

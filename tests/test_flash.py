@@ -88,6 +88,84 @@ def test_flash_sphere_matches_xla_sweep():
     assert (np.asarray(i_ref)[both] == np.asarray(i_fl)[both]).mean() > 0.995
 
 
+def test_tri_custom_vjp_matches_xla_autodiff(monkeypatch):
+    """Hand-derived backward (flash.py) vs reverse-mode AD through the XLA
+    sweep: gradients of sum(winner t) w.r.t. tri_m must agree."""
+    import dataclasses
+    from functools import partial
+
+    monkeypatch.setattr(flash, "flash_tri_hit", partial(flash.flash_tri_hit, interpret=True))
+    scene = triangles(1.0)
+    rng = np.random.default_rng(4)
+    n = 256
+    ro = V3(jnp.full((n,), 278.0), jnp.full((n,), 278.0), jnp.full((n,), -790.0))
+    rd = vnormalize(V3(
+        jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32)),
+        jnp.ones((n,), jnp.float32),
+    ))
+    inside = jnp.zeros((n,), jnp.int32)
+    rays = ix.Rays(ro=ro, rd=rd, time=jnp.zeros(n), inside=inside)
+    tmax0 = jnp.full((n,), ix.INF)
+    import jax
+
+    def loss_xla(tri_m):
+        sc = dataclasses.replace(scene, tri_m=tri_m)
+        t, _ = ix._chunked_min(
+            lambda s, c: ix.tri_ts(sc, rays, s, c, ix.TMIN, tmax0), sc.n_tris, n
+        )
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    def loss_flash(tri_m):
+        sc = dataclasses.replace(scene, tri_m=tri_m)
+        m = V3(sc.tri_m[:, 0], sc.tri_m[:, 1], sc.tri_m[:, 2])
+        u = V3(sc.tri_u[:, 0], sc.tri_u[:, 1], sc.tri_u[:, 2])
+        v = V3(sc.tri_v[:, 0], sc.tri_v[:, 1], sc.tri_v[:, 2])
+        coeffs = flash.tri_coefficients(m, u, v, sc.tri_active)
+        t, _ = flash.flash_tri_hit_d(coeffs, ro, rd, inside, ix.TMIN)
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    g0 = np.asarray(jax.grad(loss_xla)(scene.tri_m))
+    g1 = np.asarray(jax.grad(loss_flash)(scene.tri_m))
+    np.testing.assert_allclose(g1, g0, rtol=1e-3, atol=1e-4)
+
+
+def test_sphere_custom_vjp_matches_xla_autodiff(monkeypatch):
+    import dataclasses
+    from functools import partial
+
+    monkeypatch.setattr(flash, "flash_sphere_hit", partial(flash.flash_sphere_hit, interpret=True))
+    scene = random_spheres(1.0)
+    rng = np.random.default_rng(5)
+    n = 512
+    ro, rd = _rand_rays(rng, n, -12, 12)
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    inside = jnp.zeros((n,), jnp.int32)
+    rays = ix.Rays(ro=ro, rd=rd, time=time, inside=inside)
+    tmax0 = jnp.full((n,), ix.INF)
+    import jax
+
+    def loss_xla(c0, rad):
+        sc = dataclasses.replace(scene, sph_c0=c0, sph_radius=rad)
+        t, _ = ix._chunked_min(
+            lambda s, c: ix.sphere_ts(sc, rays, s, c, ix.TMIN, tmax0), sc.n_spheres, n
+        )
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    def loss_flash(c0, rad):
+        sc = dataclasses.replace(scene, sph_c0=c0, sph_radius=rad)
+        coeffs = flash.sphere_coefficients(sc)
+        t, _ = flash.flash_sphere_hit_d(coeffs, ro, rd, time, inside, ix.TMIN)
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    g0 = jax.grad(loss_xla, argnums=(0, 1))(scene.sph_c0, scene.sph_radius)
+    g1 = jax.grad(loss_flash, argnums=(0, 1))(scene.sph_c0, scene.sph_radius)
+    for a, b in zip(g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=np.abs(a).max() * 1e-4)
+
+
 def test_scene_hit_with_accel_dict_matches_plain():
     """scene_hit(accel=...) must agree with the plain path (interpret)."""
     scene = triangles(1.0)
