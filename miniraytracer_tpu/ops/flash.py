@@ -58,7 +58,8 @@ TRI_EPS = 1e-5  # triangle.cpp:220
 
 RAY_BLOCK = 1024
 TRI_BLOCK = 256
-NUM_FEATURES = 16
+NUM_FEATURES = 16  # triangle features
+SPH_FEATURES = 24  # sphere features: 17 real + zero-pad to a sublane multiple
 
 
 def _cross_cols(a: V3, b: V3):
@@ -186,9 +187,9 @@ def sphere_coefficients(scene):
     zeros = jnp.zeros((s_count,), jnp.float32)
 
     def row(const, ro_c, rd_c, rord, rosq, t_c, t2_c, tro_c, trd_c):
-        return jnp.stack(
-            [const, *ro_c, *rd_c, rord, rosq, t_c, t2_c, *tro_c, *trd_c], axis=1
-        )
+        cols = [const, *ro_c, *rd_c, rord, rosq, t_c, t2_c, *tro_c, *trd_c]
+        cols += [zeros] * (SPH_FEATURES - len(cols))  # align to sublanes
+        return jnp.stack(cols, axis=1)
 
     z3 = (zeros, zeros, zeros)
     ones = jnp.ones((s_count,), jnp.float32)
@@ -218,6 +219,8 @@ def sphere_ray_features(ro: V3, rd: V3, time):
         time * ro.x, time * ro.y, time * ro.z,
         time * rd.x, time * rd.y, time * rd.z,
     ]
+    zero = jnp.zeros((n,), jnp.float32)
+    rows += [zero] * (SPH_FEATURES - len(rows))
     return jnp.stack(rows, axis=0)
 
 
@@ -388,14 +391,14 @@ def flash_sphere_hit(coeffs, ro: V3, rd: V3, time, inside, tmin, *, interpret=Fa
     grid = (n_pad // RAY_BLOCK, s_pad // TRI_BLOCK)
 
     c_spec = pl.BlockSpec(
-        (TRI_BLOCK, NUM_FEATURES), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        (TRI_BLOCK, SPH_FEATURES), lambda i, j: (j, 0), memory_space=pltpu.VMEM
     )
     t_out, i_out = pl.pallas_call(
         _sphere_kernel,
         grid=grid,
         in_specs=[
             c_spec, c_spec,
-            pl.BlockSpec((NUM_FEATURES, RAY_BLOCK), lambda i, j: (0, i),
+            pl.BlockSpec((SPH_FEATURES, RAY_BLOCK), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
