@@ -86,19 +86,28 @@ def random_spheres(aspect, n=500):
     half = int(math.sqrt(float(n)) * 0.5)
     for a in range(-half, half):
         for bb in range(-half, half):
+            # C++ evaluates ctor args RIGHT-TO-LEFT (MSVC/GCC): in
+            # `Vec3(a + 0.9f*randf(), 0.2f, b + 0.9f*randf())` the z draw
+            # comes FIRST; in `new metal(new color_tex(Vec3(r,g,b)), gloss)`
+            # the gloss draw precedes the color draws, which land b,g,r
             choose = g.randf()
-            cx = a + 0.9 * g.randf()
             cz = bb + 0.9 * g.randf()
+            cx = a + 0.9 * g.randf()
             center = np.array([cx, 0.2, cz], np.float32)
             if np.linalg.norm(center - np.array([4, 0.2, 0], np.float32)) > 0.9:
                 if choose < 0.5:
-                    col = [g.randf() * g.randf() for _ in range(3)]
-                    m = b.lambertian(b.tex_const(col))
+                    cb = g.randf() * g.randf()
+                    cg = g.randf() * g.randf()
+                    cr = g.randf() * g.randf()
+                    m = b.lambertian(b.tex_const([cr, cg, cb]))
                     c1 = center + np.array([0, 0.5 * g.randf(), 0], np.float32)
                     b.sphere(center, 0.2, m, center1=c1, t0=0.0, t1=1.0)
                 elif choose < 0.9:
-                    col = [0.5 * (1 + g.randf()) for _ in range(3)]
-                    m = b.metal(b.tex_const(col), g.randf())
+                    gloss = g.randf()
+                    cb = 0.5 * (1 + g.randf())
+                    cg = 0.5 * (1 + g.randf())
+                    cr = 0.5 * (1 + g.randf())
+                    m = b.metal(b.tex_const([cr, cg, cb]), gloss)
                     b.sphere(center, 0.2, m)
                 else:
                     m = b.dielectric(1.4 + g.randf())
@@ -128,20 +137,26 @@ def random_spheres_2(aspect, n=500):
     half = int(math.sqrt(float(n)) * 0.5)
     for a in range(-half, half):
         for bb in range(-half, half):
+            # right-to-left ctor arg evaluation — see random_spheres
             choose = g.randf()
-            cx = a + 0.9 * g.randf()
             cz = bb + 0.9 * g.randf()
+            cx = a + 0.9 * g.randf()
             center = np.array([cx, 0.2, cz], np.float32)
             if np.linalg.norm(center - np.array([4, 0.2, 0], np.float32)) > 0.9:
                 if choose < 0.3:
-                    col = [g.randf() * g.randf() for _ in range(3)]
-                    m = b.lambertian(b.tex_const(col))
+                    cb = g.randf() * g.randf()
+                    cg = g.randf() * g.randf()
+                    cr = g.randf() * g.randf()
+                    m = b.lambertian(b.tex_const([cr, cg, cb]))
                     c1 = center + np.array([0, 0.5 * g.randf(), 0], np.float32)
                     b.sphere(center, 0.2, m, center1=c1, t0=0.0, t1=1.0)
                 else:
                     if choose < 0.6:
-                        col = [0.5 * (1 + g.randf()) for _ in range(3)]
-                        m = b.metal(b.tex_const(col), g.randf())
+                        gloss = g.randf()
+                        cb = 0.5 * (1 + g.randf())
+                        cg = 0.5 * (1 + g.randf())
+                        cr = 0.5 * (1 + g.randf())
+                        m = b.metal(b.tex_const([cr, cg, cb]), gloss)
                     elif choose < 0.7:
                         m = b.dielectric(1.4 + g.randf())
                     elif choose < 0.75:
@@ -299,7 +314,11 @@ def book2_final(aspect):
     R = _roty_fwd(15.0)
     off = np.array([-100, 270, 395], np.float32)
     for _ in range(1000):
-        c = np.array([165 * g.randf(), 165 * g.randf(), 165 * g.randf()], np.float32)
+        # right-to-left ctor args: z, y, x draw order
+        z_ = 165 * g.randf()
+        y_ = 165 * g.randf()
+        x_ = 165 * g.randf()
+        c = np.array([x_, y_, z_], np.float32)
         b.sphere(R @ c + off, 10, white)
 
     b.add_light(l)

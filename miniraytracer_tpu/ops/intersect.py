@@ -361,13 +361,30 @@ def tri_record(scene: T.SceneData, rays: Rays, t, idx):
 
 
 def _volume_entry_exit(scene: T.SceneData, rays: Rays, vi: int):
-    """Analytic double-sided entry/exit of volume vi's boundary along each
-    ray's *line* (entry may be negative, matching boundary->hit from
-    numeric_limits::lowest(), volumes.cpp:11)."""
+    """Reference-faithful double-probe of volume vi's boundary
+    (volumes.cpp:11-12): rec1 = first boundary hit in (lowest, max), rec2 =
+    first hit in (rec1 + 1e-4, max). CRITICAL parity detail: the boundary is
+    made of ONE-SIDED primitives, so this is NOT a physical entry/exit pair:
+
+    - box boundaries (6 outward one-sided rects, box.h:12-21 + rect.cpp
+      front-face rejection): an exterior ray gets rec1 at the near face but
+      the far face is backfacing -> NO rec2 -> the reference's smoke boxes
+      never scatter rays that enter from outside. Rays STARTING inside see
+      the entry face BEHIND them (front-facing at negative t) and nothing
+      ahead -> no scatter either.
+    - sphere boundaries (sphere.cpp:33-43): the far root is a backface, hit
+      only when ray.isInside > 0 — so sphere volumes scatter only for rays
+      inside a dielectric (book2's subsurface sphere) where both roots are
+      visible.
+
+    We reproduce these semantics exactly (quirks and all) rather than the
+    physically-correct double-sided slab test.
+    """
     bp = scene.vol_bparams[vi]
     btype = scene.vol_btype[vi]
+    NEG = jnp.float32(-3.0e38)
 
-    # sphere boundary
+    # ---- sphere boundary candidates (front root; back root needs isInside)
     cen = V3(bp[0], bp[1], bp[2])
     rad = bp[3]
     oc = rays.ro - cen
@@ -375,9 +392,11 @@ def _volume_entry_exit(scene: T.SceneData, rays: Rays, vi: int):
     c = vsdot(oc) - rad * rad
     disc = b * b - c
     sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))  # double-where (see sphere_ts)
-    s_enter, s_exit, s_ok = -b - sq, -b + sq, disc > 0
+    s_ok = disc > 0
+    sph_t1 = jnp.where(s_ok, -b - sq, INF)  # front root, always front-facing
+    sph_t2 = jnp.where(s_ok & (rays.inside > 0), -b + sq, INF)  # backface root
 
-    # rotY+translate box boundary: ray -> local frame (scene_object.cpp:71-81)
+    # ---- box boundary candidates: 6 one-sided faces in the local frame
     bmin = V3(bp[0], bp[1], bp[2])
     bmax = V3(bp[3], bp[4], bp[5])
     sin_t, cos_t = bp[6], bp[7]
@@ -390,26 +409,45 @@ def _volume_entry_exit(scene: T.SceneData, rays: Rays, vi: int):
         cos_t * rays.rd.z + sin_t * rays.rd.x,
     )
 
-    def axis_slab(lo_c, ld_c, mn, mx):
+    def one_axis(lo_a, ld_a, lo_b, ld_b, lo_c, ld_c, a0, a1, b0, b1, c0, c1):
         inv = 1.0 / jnp.where(
-            jnp.abs(ld_c) > 1e-12, ld_c, jnp.where(ld_c >= 0, 1e-12, -1e-12)
+            jnp.abs(ld_a) > 1e-12, ld_a, jnp.where(ld_a >= 0, 1e-12, -1e-12)
         )
-        ta = (mn - lo_c) * inv
-        tb = (mx - lo_c) * inv
-        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+        def face(bound, facing_ok):
+            t = (bound - lo_a) * inv
+            bb = lo_b + t * ld_b
+            cc = lo_c + t * ld_c
+            okf = facing_ok & (bb >= b0) & (bb <= b1) & (cc >= c0) & (cc <= c1)
+            return jnp.where(okf, t, INF)
+        # face at a0: outward normal -a_hat -> front-facing iff ld_a > 0
+        # face at a1: outward normal +a_hat -> front-facing iff ld_a < 0
+        return face(a0, ld_a > 0), face(a1, ld_a < 0)
 
-    ax0, ax1 = axis_slab(lo.x, ld.x, bmin.x, bmax.x)
-    ay0, ay1 = axis_slab(lo.y, ld.y, bmin.y, bmax.y)
-    az0, az1 = axis_slab(lo.z, ld.z, bmin.z, bmax.z)
-    b_enter = jnp.maximum(jnp.maximum(ax0, ay0), az0)
-    b_exit = jnp.minimum(jnp.minimum(ax1, ay1), az1)
-    b_ok = b_enter < b_exit
+    fx0, fx1 = one_axis(lo.x, ld.x, lo.y, ld.y, lo.z, ld.z,
+                        bmin.x, bmax.x, bmin.y, bmax.y, bmin.z, bmax.z)
+    fy0, fy1 = one_axis(lo.y, ld.y, lo.x, ld.x, lo.z, ld.z,
+                        bmin.y, bmax.y, bmin.x, bmax.x, bmin.z, bmax.z)
+    fz0, fz1 = one_axis(lo.z, ld.z, lo.x, ld.x, lo.y, ld.y,
+                        bmin.z, bmax.z, bmin.x, bmax.x, bmin.y, bmax.y)
+    box_cands = jnp.stack([fx0, fx1, fy0, fy1, fz0, fz1], axis=0)  # (6, N)
 
     is_sph = btype == T.VOLB_SPHERE
-    enter = jnp.where(is_sph, s_enter, b_enter)
-    exit_ = jnp.where(is_sph, s_exit, b_exit)
-    ok = jnp.where(is_sph, s_ok, b_ok)
-    return enter, exit_, ok
+    cands = jnp.where(
+        is_sph,
+        jnp.stack([sph_t1, sph_t2, jnp.full_like(fx0, INF),
+                   jnp.full_like(fx0, INF), jnp.full_like(fx0, INF),
+                   jnp.full_like(fx0, INF)], axis=0),
+        box_cands,
+    )
+    # probe 1: first hit in (lowest, max)
+    rec1 = jnp.min(cands, axis=0)
+    got1 = rec1 < INF
+    # probe 2: first hit in (rec1 + 1e-4, max)  (volumes.cpp:12)
+    cands2 = jnp.where(cands > rec1[None, :] + 1e-4, cands, INF)
+    rec2 = jnp.min(cands2, axis=0)
+    got2 = rec2 < INF
+    ok = got1 & got2
+    return jnp.where(got1, rec1, NEG), jnp.where(got2, rec2, NEG), ok
 
 
 def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
@@ -422,7 +460,10 @@ def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
     for vi in range(scene.n_volumes):
         enter, exit_, ok = _volume_entry_exit(scene, rays, vi)
         rec1 = jnp.maximum(enter, tmin)
-        rec2 = jnp.minimum(exit_, tmax)
+        # sequential closest_so_far: volumes sit last in the reference's
+        # object list IN ORDER, so a later volume is clamped by an earlier
+        # volume's scatter too (object_list::hit running closest)
+        rec2 = jnp.minimum(exit_, jnp.minimum(tmax, best_t))
         valid = ok & (rec1 < rec2) & scene.vol_active[vi]
         inside_dist = rec2 - rec1
         uv = jnp.clip(u_volume[:, vi], 1e-38, 1.0)  # log(0) guard

@@ -208,12 +208,15 @@ class Pcg32:
         return struct.unpack("<f", struct.pack("<I", bits32))[0] - 1.0
 
     def in_ball(self):
-        """random_in_sphere rejection loop (pcg.cpp:70-80), bit-faithful."""
+        """random_in_sphere rejection loop (pcg.cpp:70-80), bit-faithful.
+
+        NOTE draw order: `Vec3(randf(), randf(), randf())` — C++ argument
+        evaluation is right-to-left under MSVC and GCC, so the FIRST draw
+        lands in z, then y, then x (verified against the headless reference
+        build; this is what makes the Perlin field bit-match)."""
         while True:
-            p = (
-                2.0 * self.randf() - 1.0,
-                2.0 * self.randf() - 1.0,
-                2.0 * self.randf() - 1.0,
-            )
-            if p[0] * p[0] + p[1] * p[1] + p[2] * p[2] < 1.0:
-                return p
+            z = 2.0 * self.randf() - 1.0
+            y = 2.0 * self.randf() - 1.0
+            x = 2.0 * self.randf() - 1.0
+            if x * x + y * y + z * z < 1.0:
+                return (x, y, z)

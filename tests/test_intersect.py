@@ -163,43 +163,61 @@ def test_closest_of_multiple_types():
 
 
 def test_volume_sphere_scatter_distribution():
+    """Reference double-probe semantics (volumes.cpp:11-12 + one-sided
+    sphere backfaces, sphere.cpp:33-43): exterior rays with isInside == 0
+    get only ONE boundary hit -> NO scatter; rays inside a dielectric
+    (isInside > 0) see both roots and scatter with the exponential free
+    path. See REFERENCE_PARITY.md."""
     b = base_builder()
     alb = b.tex_const([1, 1, 1])
     b.volume_sphere([0, 0, -10], 2.0, density=0.5, albedo_tex=alb)
     scene = b.build()
     n = 20000
-    rays = ix.Rays(
-        ro=V3.zeros((n,)),
-        rd=V3(jnp.zeros(n), jnp.zeros(n), jnp.full(n, -1.0)),
-        time=jnp.zeros((n,)),
-        inside=jnp.zeros((n,), jnp.int32),
-    )
     from miniraytracer_tpu.ops import rng
 
     k = rng.ray_key(jnp.arange(n), jnp.zeros((n,), jnp.uint32))
     uv = rng.uniform(k, 0)[:, None]
-    rec = ix.scene_hit(scene, rays, u_volume=uv)
+
+    def mk(inside):
+        return ix.Rays(
+            ro=V3.zeros((n,)),
+            rd=V3(jnp.zeros(n), jnp.zeros(n), jnp.full(n, -1.0)),
+            time=jnp.zeros((n,)),
+            inside=jnp.full((n,), inside, jnp.int32),
+        )
+
+    # exterior, isInside=0: rec2 probe fails -> volume inert (parity quirk)
+    rec0 = ix.scene_hit(scene, mk(0), u_volume=uv)
+    assert not np.asarray(rec0.hit).any()
+
+    # inside a dielectric: both roots visible -> scatters exactly like the
+    # reference (entry t=8, exit t=12, P = 1 - exp(-0.5*4))
+    rec = ix.scene_hit(scene, mk(1), u_volume=uv)
     hits = np.asarray(rec.hit)
     ts = np.asarray(rec.t)[hits]
-    # entry at t=8, exit at t=12; P(scatter) = 1 - exp(-0.5*4)
     p_expect = 1 - np.exp(-0.5 * 4)
     assert abs(hits.mean() - p_expect) < 0.02
     assert ts.min() >= 8.0 and ts.max() <= 12.0
-    # free-path: P(d < x | scatter) truncated exponential; check mean
     d = ts - 8.0
     mean_expect = (1 / 0.5) - 4 * np.exp(-2) / p_expect
     assert abs(d.mean() - mean_expect) < 0.05
 
 
-def test_volume_box_respects_rotation():
+def test_volume_box_is_inert_like_reference():
+    """Box volume boundaries are six OUTWARD one-sided rects (box.h:12-21):
+    a convex one-sided boundary can never produce the two front-facing hits
+    the double-probe needs, so the reference's smoke boxes scatter NOTHING —
+    verified against the real reference render (REFERENCE_PARITY.md: the
+    physically-correct version diverged ~10% on cornell_smoke; the faithful
+    one matches to 0.13%)."""
     b = base_builder()
     alb = b.tex_const([1, 1, 1])
     b.volume_box([0, 0, 0], [165, 165, 165], density=1e9, albedo_tex=alb, rot_y_deg=-18.0, offset=[130, 0, 65])
     scene = b.build()
     cx, cz = 130 + 82, 65 + 82
-    rays = mk_rays([cx, 300, cz], [0, -1, 0])
-    uv = jnp.full((1, 1), 0.5, jnp.float32)
-    rec = ix.scene_hit(scene, rays, u_volume=uv)
-    assert bool(rec.hit[0])  # dense volume scatters immediately at entry
-    assert 130.0 < float(rec.t[0]) < 140.0
-    assert int(scene.mat_type[int(rec.mat[0])]) == T.MAT_ISOTROPIC
+    for ro, rd in [([cx, 300, cz], [0, -1, 0]),   # from outside, above
+                   ([cx, 80, cz], [0, -1, 0])]:   # from inside
+        rays = mk_rays(ro, rd)
+        uv = jnp.full((1, 1), 0.5, jnp.float32)
+        rec = ix.scene_hit(scene, rays, u_volume=uv)
+        assert not bool(rec.hit[0])
