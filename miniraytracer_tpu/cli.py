@@ -42,8 +42,10 @@ def build_parser():
     # headless output / runtime extensions
     p.add_argument("-out", type=str, default="render.png", help="output image path (.png or .ppm)")
     p.add_argument("-tonemap", type=str, default="drago", choices=["drago", "reinhard", "gamma", "linear"])
-    p.add_argument("-renderer", type=str, default=None, choices=["wavefront", "progressive"],
-                   help="override -mode's renderer choice")
+    p.add_argument("-renderer", type=str, default=None,
+                   choices=["wavefront", "progressive", "workqueue"],
+                   help="override -mode's renderer choice (workqueue = "
+                        "throughput mode with a global sample queue)")
     p.add_argument("-checkpoint", type=str, default=None, help="write progressive checkpoints here")
     p.add_argument("-checkpoint-every", type=int, default=16, help="passes between checkpoints")
     p.add_argument("-resume", type=str, default=None, help="resume from a checkpoint file")
@@ -99,7 +101,17 @@ def main(argv=None):
 
     renderer = args.renderer or ("progressive" if args.mode == 1 else "wavefront")
 
-    if renderer == "wavefront":
+    if renderer == "workqueue":
+        from miniraytracer_tpu.models.integrator import render_workqueue
+
+        frame, stats = render_workqueue(
+            scene, args.width, args.height, args.samples,
+            max_bounces=args.depth, max_lum=args.maxlum,
+        )
+        import numpy as _np
+
+        frame = _np.asarray(frame)
+    elif renderer == "wavefront":
         frame, stats = render_wavefront_distributed(
             scene, args.width, args.height, args.samples, mesh,
             max_bounces=args.depth, max_lum=args.maxlum,

@@ -356,6 +356,203 @@ def render_wavefront(
 
 
 # ---------------------------------------------------------------------------
+# Work-queue wavefront (throughput mode: lanes decoupled from pixels)
+# ---------------------------------------------------------------------------
+
+
+class WQState(NamedTuple):
+    accum: V3  # (P+1,) per-pixel sums (row P = dummy for masked scatters)
+    count: jnp.ndarray  # (P+1,)
+    next_item: jnp.ndarray  # () i32 global work counter
+    item: jnp.ndarray  # (N,) i32 current (pixel, sample) work item per lane
+    ro: V3
+    rd: V3
+    time: jnp.ndarray
+    inside: jnp.ndarray
+    beta: V3
+    radiance: V3
+    depth: jnp.ndarray
+    alive: jnp.ndarray
+    keys: jnp.ndarray
+    rays_traced: jnp.ndarray
+
+
+def render_workqueue_pixels(
+    scene: T.SceneData,
+    n_pix: int,
+    n_lanes: int,
+    offsets: jnp.ndarray,
+    n_samples: int,
+    max_lum,
+    *,
+    width: int,
+    height: int,
+    max_bounces: int,
+    pix_base: int = 0,
+):
+    """Whole-frame render with a GLOBAL work queue: the TPU equivalent of the
+    reference's atomic tile counter (work_queue.cpp:133-175), at per-sample
+    granularity. Work item w = (pixel w % n_pix, sample w // n_pix)
+    (sample-major, so early items sweep the full frame like the progressive
+    queue). When a lane's path terminates it scatter-adds the sample into
+    the framebuffer and immediately claims the next item via a prefix-sum
+    over finished lanes — so lane occupancy stays ~100% even when a few
+    pixels (e.g. through glass) need 10x the bounces of the rest, where the
+    pixel-pinned wavefront (render_wavefront_pixels) serializes a pixel's
+    samples on one lane and stalls the whole array on stragglers.
+
+    Estimator deviations from draw2 (documented): samples accumulate
+    out-of-order, the luminance clamp applies to the final mean (not the
+    running average), and non-finite samples are dropped rather than
+    replaced by the previous average. Identical in expectation; use the
+    pixel-pinned wavefront for reference-exact merge semantics.
+
+    Returns (accum V3 (P,), count (P,), rays_traced).
+    """
+    total_items = n_pix * n_samples
+
+    def item_pixel(item):
+        return (item % n_pix + pix_base).astype(jnp.uint32)
+
+    def item_sample(item):
+        return (item // n_pix).astype(jnp.int32)
+
+    x_of = lambda pix: (pix % width).astype(jnp.float32)
+    y_of = lambda pix: (pix // width).astype(jnp.float32)
+
+    def camera_rays(item):
+        pix = item_pixel(item)
+        samp = item_sample(item)
+        ci = jnp.clip(samp, 0, offsets.shape[0] - 1)
+        off_x, off_y = lookup.lookup_cols(ci, (offsets[:, 0], offsets[:, 1]))
+        ss = (x_of(pix) + off_x) / width
+        tt = (y_of(pix) + off_y) / height
+        keys = rng.ray_key(pix, samp.astype(jnp.uint32))
+        return cam_mod.get_rays(scene.camera, ss, tt, keys), keys
+
+    n = n_lanes
+    items0 = jnp.arange(n, dtype=jnp.int32)
+    rays0, keys0 = camera_rays(items0)
+    state = WQState(
+        accum=V3.zeros((n_pix + 1,)),
+        count=jnp.zeros((n_pix + 1,), jnp.float32),
+        next_item=jnp.int32(n),
+        item=items0,
+        ro=rays0.ro, rd=rays0.rd, time=rays0.time, inside=rays0.inside,
+        beta=V3.fill((n,), 1.0, 1.0, 1.0),
+        radiance=V3.zeros((n,)),
+        depth=jnp.zeros((n,), jnp.int32),
+        alive=items0 < total_items,
+        keys=keys0,
+        rays_traced=jnp.float32(0.0),
+    )
+    accel = ix.make_accel(scene)
+
+    def cond(s):
+        return jnp.any(s.alive)
+
+    def body(s):
+        rays = ix.Rays(ro=s.ro, rd=s.rd, time=s.time, inside=s.inside)
+        keys_b = rng.fold(s.keys, s.depth)
+        depth_ok = s.depth < max_bounces
+        rec, sc, cont, beta, radiance = _shade_and_advance(
+            scene, rays, keys_b, depth_ok, s.alive, s.beta, s.radiance, accel
+        )
+        finished = s.alive & ~cont
+
+        # ---- scatter finished samples into the frame ----
+        finite = (
+            jnp.isfinite(radiance.x)
+            & jnp.isfinite(radiance.y)
+            & jnp.isfinite(radiance.z)
+        )
+        ok = finished & finite  # non-finite samples dropped
+        # per-sample luminance clamp (deviation: reference clamps the
+        # running average, main.cpp:226-229)
+        lum = vm.vluminance(radiance)
+        scale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
+        rad_c = radiance * scale
+        target = jnp.where(ok, item_pixel(s.item) - pix_base, n_pix).astype(jnp.int32)
+        accum = V3(
+            s.accum.x.at[target].add(jnp.where(ok, rad_c.x, 0.0)),
+            s.accum.y.at[target].add(jnp.where(ok, rad_c.y, 0.0)),
+            s.accum.z.at[target].add(jnp.where(ok, rad_c.z, 0.0)),
+        )
+        count = s.count.at[target].add(jnp.where(ok, 1.0, 0.0))
+
+        # ---- claim new work items (prefix sum = the atomic fetch_add) ----
+        fin_i = finished.astype(jnp.int32)
+        claim = s.next_item + jnp.cumsum(fin_i) - fin_i  # exclusive scan
+        new_item = jnp.where(finished, claim, s.item)
+        have_work = new_item < total_items
+        regen = finished & have_work
+        new_rays, new_keys = camera_rays(jnp.where(regen, new_item, 0))
+
+        return WQState(
+            accum=accum,
+            count=count,
+            next_item=s.next_item + jnp.sum(fin_i),
+            item=new_item,
+            ro=vwhere(regen, new_rays.ro, vwhere(cont, rec.p, s.ro)),
+            rd=vwhere(regen, new_rays.rd, vwhere(cont, sc.new_rd, s.rd)),
+            time=jnp.where(regen, new_rays.time, s.time),
+            inside=jnp.where(regen, new_rays.inside, jnp.where(cont, sc.new_inside, s.inside)),
+            beta=vwhere(regen, V3.fill(regen.shape, 1.0, 1.0, 1.0), beta),
+            radiance=vwhere(regen, V3.zeros(regen.shape), radiance),
+            depth=jnp.where(regen, 0, s.depth + 1),
+            alive=cont | regen,
+            keys=jnp.where(regen, new_keys, s.keys),
+            rays_traced=s.rays_traced + jnp.sum(s.alive.astype(jnp.float32)),
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    accum = V3(state.accum.x[:n_pix], state.accum.y[:n_pix], state.accum.z[:n_pix])
+    return accum, state.count[:n_pix], state.rays_traced
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces", "n_lanes"))
+def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces, n_lanes):
+    offs, ns = sample_offsets(spp)
+    n_pix = width * height
+    accum, count, rays = render_workqueue_pixels(
+        scene, n_pix, n_lanes or n_pix, offs, ns, max_lum,
+        width=width, height=height, max_bounces=max_bounces,
+    )
+    inv = 1.0 / jnp.maximum(count, 1.0)
+    return (accum * inv).arr, rays
+
+
+def render_workqueue(
+    scene: T.SceneData,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounces: int = 32,
+    max_lum: float = 1000.0,
+    n_lanes: int = 0,
+):
+    """Whole-frame work-queue render (throughput mode). n_lanes = 0 uses one
+    lane per pixel. Returns (frame (H,W,3), stats)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    frame, rays = _render_workqueue_jit(
+        scene, jnp.float32(max_lum),
+        width=width, height=height, spp=spp, max_bounces=max_bounces,
+        n_lanes=n_lanes,
+    )
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total = float(rays)
+    return frame.reshape(height, width, 3), {
+        "seconds": elapsed,
+        "rays": total,
+        "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": int(jnp.sqrt(spp)) ** 2,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Progressive full-frame renderer (draw2 semantics)
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,29 @@ def test_wavefront_matches_progressive_single_device():
     assert s1["rays"] == s2["rays"]
 
 
+def test_workqueue_matches_wavefront():
+    """Work-queue mode traces the SAME (pixel, sample) rays (identical
+    counter-based keys) — only accumulation order and the NaN/clamp policy
+    differ (documented in render_workqueue_pixels)."""
+    scene = cornell_box(1.0)
+    f1, s1 = integ.render_wavefront(scene, 32, 32, 9, max_bounces=5, max_lum=1e9)
+    f2, s2 = integ.render_workqueue(scene, 32, 32, 9, max_bounces=5, max_lum=1e9)
+    # same ray set up to fusion-rounding path divergence at branch thresholds
+    assert abs(s1["rays"] - s2["rays"]) / s1["rays"] < 1e-3
+    d = np.abs(np.asarray(f1) - np.asarray(f2))
+    # pixels without dropped samples match to reorder tolerance
+    assert np.median(d) < 1e-5
+    assert d.max() < 0.5  # dropped-NaN/diverged pixels differ ~1 sample weight
+
+
+def test_workqueue_fewer_lanes_than_pixels():
+    scene = two_spheres(1.0)
+    f1, _ = integ.render_wavefront(scene, 32, 32, 4, max_bounces=4, max_lum=1e9)
+    f2, _ = integ.render_workqueue(scene, 32, 32, 4, max_bounces=4, max_lum=1e9,
+                                   n_lanes=256)  # 4x fewer lanes than pixels
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
 def test_sharded_wavefront_matches_unsharded():
     scene = cornell_box(1.0)
     f0, s0 = integ.render_wavefront(scene, 24, 24, 4, max_bounces=4)
