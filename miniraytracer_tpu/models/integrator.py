@@ -552,6 +552,26 @@ def render_workqueue(
     }
 
 
+def pick_renderer(scene: T.SceneData) -> str:
+    """Forward-renderer heuristic (measured on TPU v5e, 500x500x16spp):
+    the work queue's scatter/prefix-sum overhead (~2-3 ms/iteration) pays
+    off only when per-iteration intersection work dominates — i.e. big
+    primitive counts. Crossover sits around ~2k primitives:
+      triangles (11.3k tris): wavefront 1.5 -> workqueue 4.5 Mrays/s
+      book2 (4.8k tris + 1k spheres): 0.8 -> 3.0
+      cornell (19 prims): 123.5 -> 27.1  (wavefront wins)
+    """
+    heavy = scene.n_tris + scene.n_spheres
+    return "workqueue" if heavy >= 2000 else "wavefront"
+
+
+def render_auto(scene, width, height, spp, max_bounces=32, max_lum=1000.0):
+    """Render with the heuristically-picked forward renderer."""
+    if pick_renderer(scene) == "workqueue":
+        return render_workqueue(scene, width, height, spp, max_bounces, max_lum)
+    return render_wavefront(scene, width, height, spp, max_bounces, max_lum)
+
+
 # ---------------------------------------------------------------------------
 # Progressive full-frame renderer (draw2 semantics)
 # ---------------------------------------------------------------------------
