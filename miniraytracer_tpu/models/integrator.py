@@ -382,13 +382,14 @@ def render_workqueue_pixels(
     n_pix: int,
     n_lanes: int,
     offsets: jnp.ndarray,
-    n_samples: int,
+    n_samples,  # may be traced (sharded sample blocks)
     max_lum,
     *,
     width: int,
     height: int,
     max_bounces: int,
-    pix_base: int = 0,
+    pix_base=0,  # may be traced (sharded pixel ranges)
+    sample_base=0,
 ):
     """Whole-frame render with a GLOBAL work queue: the TPU equivalent of the
     reference's atomic tile counter (work_queue.cpp:133-175), at per-sample
@@ -411,11 +412,16 @@ def render_workqueue_pixels(
     """
     total_items = n_pix * n_samples
 
+    def item_local(item):
+        return item % n_pix
+
     def item_pixel(item):
-        return (item % n_pix + pix_base).astype(jnp.uint32)
+        # clamp: padded shards can address past the true frame; their rows
+        # re-render the last pixel and are dropped by the caller's slice
+        return jnp.clip(item % n_pix + pix_base, 0, width * height - 1).astype(jnp.uint32)
 
     def item_sample(item):
-        return (item // n_pix).astype(jnp.int32)
+        return (item // n_pix).astype(jnp.int32) + sample_base
 
     x_of = lambda pix: (pix % width).astype(jnp.float32)
     y_of = lambda pix: (pix // width).astype(jnp.float32)
@@ -472,7 +478,7 @@ def render_workqueue_pixels(
         lum = vm.vluminance(radiance)
         scale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
         rad_c = radiance * scale
-        target = jnp.where(ok, item_pixel(s.item) - pix_base, n_pix).astype(jnp.int32)
+        target = jnp.where(ok, item_local(s.item), n_pix).astype(jnp.int32)
         accum = V3(
             s.accum.x.at[target].add(jnp.where(ok, rad_c.x, 0.0)),
             s.accum.y.at[target].add(jnp.where(ok, rad_c.y, 0.0)),

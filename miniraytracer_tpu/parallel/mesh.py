@@ -33,3 +33,28 @@ def make_mesh(n_dp: int | None = None, n_sp: int = 1, devices=None) -> Mesh:
         n_dp = len(devices) // n_sp
     devs = np.asarray(devices[: n_dp * n_sp]).reshape(n_dp, n_sp)
     return Mesh(devs, ("dp", "sp"))
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> Mesh:
+    """Multi-host initialization (the reference has no multi-process story;
+    this is the pod-slice path, SURVEY.md section 2.3).
+
+    Call once per host before any jax op. With no arguments, JAX
+    auto-detects TPU pod topology from the environment; explicit args
+    support manual bring-up. Returns the global (dp, sp) mesh over ALL
+    chips in the slice — intra-slice collectives (the pass psums and the
+    gradient all-reduce in parallel/train.py) ride ICI automatically
+    because `dp` spans the slice's device order.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    n_dp, n_sp = auto_mesh_shape(len(jax.devices()))
+    return make_mesh(n_dp, n_sp)

@@ -165,6 +165,83 @@ def render_wavefront_distributed(
     return host.reshape(height, width, 3), stats
 
 
+@lru_cache(maxsize=32)
+def _make_workqueue_fn(mesh: Mesh, width: int, height: int, spp: int,
+                       max_bounces: int, lanes_per_shard: int):
+    ndp = mesh.shape["dp"]
+    nsp = mesh.shape["sp"]
+    n_pix = width * height
+    n_pad = _padded_size(n_pix, ndp)
+    local = n_pad // ndp
+    offs, ns = integ.sample_offsets(spp)
+    base_n, rem = divmod(ns, nsp)
+
+    def body(scene, max_lum):
+        # each (dp, sp) cell runs an independent work queue over its pixel
+        # range x sample block (the reference's per-thread atomic counter
+        # becomes a per-shard prefix-sum queue)
+        dp = jax.lax.axis_index("dp")
+        sp = jax.lax.axis_index("sp")
+        lo = sp * base_n + jnp.minimum(sp, rem)
+        cnt = base_n + (sp < rem).astype(jnp.int32)
+        # sample window [lo, lo+cnt): shift the offset table so local
+        # sample index 0 maps to absolute sample lo
+        accum, count, rays = integ.render_workqueue_pixels(
+            scene, local, lanes_per_shard, offs, cnt, max_lum,
+            width=width, height=height, max_bounces=max_bounces,
+            pix_base=dp * local, sample_base=lo,
+        )
+        accum = jax.lax.psum(accum, "sp")
+        count = jax.lax.psum(count, "sp")
+        inv = 1.0 / jnp.maximum(count, 1.0)
+        avg = (accum * inv).arr
+        rays = jax.lax.psum(rays, ("dp", "sp"))
+        return avg, rays
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_workqueue_distributed(
+    scene,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    max_bounces: int = 32,
+    max_lum: float = 1000.0,
+    lanes_per_shard: int = 0,
+):
+    """Work-queue renderer sharded over the mesh: pixels split over dp,
+    sample blocks over sp, an independent queue per cell."""
+    import time as _time
+
+    ndp = mesh.shape["dp"]
+    if lanes_per_shard == 0:
+        lanes_per_shard = _padded_size(width * height, ndp) // ndp
+    fn = _make_workqueue_fn(mesh, width, height, spp, max_bounces, lanes_per_shard)
+    t0 = _time.perf_counter()
+    frame, rays = fn(scene, jnp.float32(max_lum))
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total = float(rays)
+    stats = {
+        "seconds": elapsed,
+        "rays": total,
+        "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": int(spp**0.5) ** 2,
+        "devices": mesh.devices.size,
+    }
+    host = jax.device_get(frame)[: width * height]
+    return host.reshape(height, width, 3), stats
+
+
 def make_frame(width: int, height: int, mesh: Mesh):
     """Zero-initialized running-average framebuffer, padded to the dp axis and
     device-sharded (device-resident accumulation, SURVEY.md section 2.2)."""

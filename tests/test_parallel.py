@@ -56,6 +56,19 @@ def test_sharded_wavefront_matches_unsharded():
         assert s1["rays"] == s0["rays"]
 
 
+def test_sharded_workqueue_matches_single():
+    from miniraytracer_tpu.parallel.render import render_workqueue_distributed
+
+    scene = cornell_box(1.0)
+    f0, s0 = integ.render_workqueue(scene, 25, 25, 4, max_bounces=4, max_lum=1e9)
+    for shape in [(8, 1), (4, 2)]:
+        mesh = make_mesh(*shape)
+        f1, s1 = render_workqueue_distributed(
+            scene, 25, 25, 4, mesh, max_bounces=4, max_lum=1e9
+        )
+        np.testing.assert_allclose(np.asarray(f0), f1, atol=1e-5)
+
+
 def test_sharded_progressive_matches_unsharded():
     scene = two_spheres(1.0)
     f0, s0 = integ.render(scene, 24, 24, 4, max_bounces=4)
