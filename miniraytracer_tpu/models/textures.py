@@ -72,15 +72,18 @@ def perlin_turbulence(scene: T.SceneData, p: V3, depth: int = 7) -> jnp.ndarray:
 
 def image_sample(scene: T.SceneData, img_id, h, w, u, v) -> V3:
     """Nearest-neighbor, clamped, v-flipped (texture.cpp:207-225).
-    h, w are float arrays (stashed in tex_c1 by the builder)."""
+    h, w are float arrays (stashed in tex_c1 by the builder). Texels are
+    packed 0x00RRGGBB — ONE gather + shifts instead of three gathers."""
     hi = h.astype(jnp.int32)
     wi = w.astype(jnp.int32)
     i = jnp.clip((u * w).astype(jnp.int32), 0, wi - 1)
     j = jnp.clip(((1.0 - v) * h).astype(jnp.int32), 0, hi - 1)
+    texel = scene.images[img_id, j, i]
+    inv255 = jnp.float32(1.0 / 255.0)
     return V3(
-        scene.images[img_id, j, i, 0],
-        scene.images[img_id, j, i, 1],
-        scene.images[img_id, j, i, 2],
+        ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
+        ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
+        (texel & 0xFF).astype(jnp.float32) * inv255,
     )
 
 

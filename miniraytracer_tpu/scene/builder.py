@@ -258,14 +258,15 @@ class SceneBuilder:
         if self.images:
             hh = max(im.shape[0] for im in self.images)
             ww = max(im.shape[1] for im in self.images)
-            ims = np.zeros((len(self.images), hh, ww, 3), _F)
+            ims = np.zeros((len(self.images), hh, ww), np.uint32)
             for i, im in enumerate(self.images):
-                ims[i, : im.shape[0], : im.shape[1]] = im
-            # real (h, w) per image needed for uv lookup; store in first row? ->
-            # keep a side table instead
+                q = np.clip(np.rint(im * 255.0), 0, 255).astype(np.uint32)
+                packed = (q[..., 0] << 16) | (q[..., 1] << 8) | q[..., 2]
+                ims[i, : im.shape[0], : im.shape[1]] = packed
+            # real (h, w) per image needed for uv lookup; stashed in tex_c1
             img_hw = np.array([[im.shape[0], im.shape[1]] for im in self.images], np.int32)
         else:
-            ims = np.zeros((1, 1, 1, 3), _F)
+            ims = np.zeros((1, 1, 1), np.uint32)
             img_hw = np.array([[1, 1]], np.int32)
         # encode per-image true size into padded rows of tex table via scale?
         # Simpler: stash hw in unused tex_c1 slot for image textures.

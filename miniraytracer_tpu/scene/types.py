@@ -130,7 +130,10 @@ class SceneData:
     tex_img: jnp.ndarray  # (X,) i32 image id
 
     # --- image atlas (stb_image equivalent) ---
-    images: jnp.ndarray  # (I,IH,IW,3) f32 in [0,1]
+    # packed 0x00RRGGBB per texel: textures are 8-bit sources (the reference
+    # samples raw stb bytes / 255, texture.cpp:221-224), and one u32 gather
+    # costs a third of three channel gathers on TPU
+    images: jnp.ndarray  # (I,IH,IW) u32
 
     # --- Perlin tables (texture.cpp:107-203) ---
     perlin_vec: jnp.ndarray  # (256,3)
