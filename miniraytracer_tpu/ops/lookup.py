@@ -29,6 +29,7 @@ from miniraytracer_tpu.ops.vecmath import V3
 
 K_CHUNK = 2048
 MXU_MAX_K = 65536  # beyond this, one-hot flops exceed the gather cost
+SELECT_MAX_OPS = 160  # D*K budget for the where-chain strategy
 
 
 def _use_mxu(k: int) -> bool:
@@ -41,11 +42,26 @@ def lookup_cols(idx: jnp.ndarray, cols):
     idx: (N,) integer indices into tables of length K.
     cols: sequence of (K,) arrays (float/int/bool — any mix).
     Returns a tuple of (N,) arrays with the original dtypes.
+
+    Strategy (measured on v5e): XLA gather ~450us per 250k idx; one-hot
+    MXU matmul ~30-80us but pays a minimum cost at tiny M=D; a plain
+    where-chain (K selects per column, pure VPU) wins when D*K is small
+    (material/texture tables). CPU/GPU keep native gathers.
     """
     cols = [jnp.asarray(c) for c in cols]
     k = cols[0].shape[0]
     if not _use_mxu(k):
         return tuple(c[idx] for c in cols)
+
+    if k * len(cols) <= SELECT_MAX_OPS:
+        idx32 = idx.astype(jnp.int32)
+        outs = []
+        for c in cols:
+            acc = jnp.broadcast_to(c[0], idx32.shape)
+            for r in range(1, k):
+                acc = jnp.where(idx32 == r, c[r], acc)
+            outs.append(acc)
+        return tuple(outs)
 
     tab = jnp.stack([c.astype(jnp.float32) for c in cols])  # (D, K)
     n = idx.shape[0]
