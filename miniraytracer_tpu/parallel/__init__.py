@@ -10,10 +10,14 @@ loss and gradient reduction). The scene/BVH tables are replicated in HBM on
 every chip (SURVEY.md section 2.2-2.3).
 """
 
-from miniraytracer_tpu.parallel.mesh import make_mesh, auto_mesh_shape  # noqa: F401
+from miniraytracer_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, auto_mesh_shape, init_distributed,
+)
 from miniraytracer_tpu.parallel.render import (  # noqa: F401
     render_pass_sharded,
     render_distributed,
+    render_wavefront_distributed,
+    render_workqueue_distributed,
 )
 from miniraytracer_tpu.parallel.train import (  # noqa: F401
     TrainParams,
