@@ -46,6 +46,10 @@ def build_parser():
                    choices=["wavefront", "progressive", "workqueue"],
                    help="override -mode's renderer choice (workqueue = "
                         "throughput mode with a global sample queue)")
+    p.add_argument("-preview", type=str, default=None,
+                   help="progressive mode: write a tone-mapped preview PNG "
+                        "here at every checkpoint interval (the headless "
+                        "stand-in for the reference's live window)")
     p.add_argument("-checkpoint", type=str, default=None, help="write progressive checkpoints here")
     p.add_argument("-checkpoint-every", type=int, default=16, help="passes between checkpoints")
     p.add_argument("-resume", type=str, default=None, help="resume from a checkpoint file")
@@ -152,6 +156,9 @@ def main(argv=None):
                         {"width": args.width, "height": args.height,
                          "scene": args.scene, "samples": ns, "depth": args.depth},
                     )
+                if args.preview:
+                    pv = np.asarray(frame_flat).reshape(args.height, args.width, 3)
+                    save_png(args.preview, np.asarray(tm.drago(jnp.asarray(pv))))
         frame = np.asarray(frame_flat).reshape(args.height, args.width, 3)
         stats = {"seconds": time.perf_counter() - t_start, "spp": ns,
                  "rays": 0.0, "mrays_per_s": 0.0}
