@@ -54,6 +54,9 @@ def build_parser():
     p.add_argument("-checkpoint-every", type=int, default=16, help="passes between checkpoints")
     p.add_argument("-resume", type=str, default=None, help="resume from a checkpoint file")
     p.add_argument("-devices", type=int, default=0, help="limit device count (0 = all)")
+    p.add_argument("-fast-perlin", action="store_true",
+                   help="table-free hash-gradient Perlin (~5x faster on TPU; "
+                        "statistically equivalent but non-parity noise field)")
     p.add_argument("-seed-check", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -98,6 +101,10 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     scene = S.select_scene(args.scene, args.width / args.height)
+    if args.fast_perlin:
+        import dataclasses
+
+        scene = dataclasses.replace(scene, fast_perlin=True)
     print(f"scene '{scene.name}' built in {time.perf_counter()-t0:.2f} s "
           f"({scene.n_spheres} spheres, {scene.n_rects} rects, "
           f"{scene.n_tris} tris, {scene.n_volumes} volumes); "

@@ -24,8 +24,62 @@ from miniraytracer_tpu.ops.vecmath import V3, vwhere
 from miniraytracer_tpu.scene import types as T
 
 
+def _hash_gradient(ix, iy, iz):
+    """Table-free lattice gradient: hash (i,j,k) -> uniform unit vector.
+
+    Replaces perm_x[i]^perm_y[j]^perm_z[k] -> ranvec[...] (texture.cpp:
+    118-152) with pure VPU arithmetic — no lookups. Statistically the same
+    construction (uniform random gradient per lattice point, 256-periodic
+    like the reference's & 255 masks) but a different realization."""
+    from miniraytracer_tpu.ops import rng as _rng
+
+    h = _rng.pcg_hash(
+        (ix & 255).astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+        ^ (iy & 255).astype(jnp.uint32) * jnp.uint32(0xD8163841)
+        ^ (iz & 255).astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
+    )
+    h2 = _rng.pcg_hash(h)
+    u1 = (h & jnp.uint32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536.0)
+    u2 = (h >> jnp.uint32(16)).astype(jnp.float32) * (1.0 / 65536.0)
+    u3 = (h2 & jnp.uint32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536.0)
+    from miniraytracer_tpu.ops.rng import sample_in_ball
+
+    # in-BALL like the reference's ranvec (random_in_sphere_g — gradients
+    # are deliberately non-unit, texture.cpp:168-170)
+    return sample_in_ball(u1, u2, u3)
+
+
+def _perlin_noise_fast(p: V3) -> jnp.ndarray:
+    """perlin_noise with hash gradients (see _hash_gradient)."""
+    def prep(c):
+        pf = jnp.floor(c)
+        frac = c - pf
+        h = frac * frac * (3.0 - 2.0 * frac)
+        return pf.astype(jnp.int32), frac, h
+
+    ix, fx, hx = prep(p.x)
+    iy, fy, hy = prep(p.y)
+    iz, fz, hz = prep(p.z)
+    acc = jnp.zeros_like(p.x)
+    for di in (0, 1):
+        ax = hx if di == 1 else 1.0 - hx
+        wx = fx - di
+        for dj in (0, 1):
+            ay = hy if dj == 1 else 1.0 - hy
+            wy = fy - dj
+            for dk in (0, 1):
+                az = hz if dk == 1 else 1.0 - hz
+                wz = fz - dk
+                g = _hash_gradient(ix + di, iy + dj, iz + dk)
+                d = g.x * wx + g.y * wy + g.z * wz
+                acc = acc + ax * ay * az * d
+    return acc
+
+
 def perlin_noise(scene: T.SceneData, p: V3) -> jnp.ndarray:
     """Gradient Perlin noise at points p -> (N,). texture.cpp:118-152."""
+    if scene.fast_perlin:
+        return _perlin_noise_fast(p)
     gx, gy, gz = scene.perlin_vec[:, 0], scene.perlin_vec[:, 1], scene.perlin_vec[:, 2]
 
     def prep(c):

@@ -155,6 +155,11 @@ class SceneData:
     # (pcg.cpp:87-98 quirk — needed for image parity); True uses the textbook
     # cosine lobe (consistent MIS estimator)
     exact_cosine: bool = _meta(default=False)
+    # True swaps the reference's permutation-table Perlin gradients for
+    # table-free hash-derived gradients: statistically equivalent noise,
+    # ~5x faster on TPU (the exact tables cost 98 small lookups per shading
+    # event), but a DIFFERENT field — parity renders keep the default False
+    fast_perlin: bool = _meta(default=False)
 
     @property
     def n_lights(self):

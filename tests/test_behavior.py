@@ -90,3 +90,24 @@ def test_sky_gating_by_scene_index():
         if scene is None:
             continue
         assert scene.use_sky == (sid < 5)
+
+
+def test_fast_perlin_statistics_match_exact():
+    """fast_perlin swaps table gradients for hash gradients: a DIFFERENT
+    noise realization with matching statistics (both draw uniform in-ball
+    lattice gradients). Default (parity) mode is unaffected."""
+    import dataclasses
+
+    from miniraytracer_tpu.models import scenes as S
+
+    scene = S.perlin_spheres(1.0)
+    assert scene.fast_perlin is False
+    fast = dataclasses.replace(scene, fast_perlin=True)
+    f1, _ = integ.render_wavefront(scene, 48, 48, 4, max_bounces=5)
+    f2, _ = integ.render_wavefront(fast, 48, 48, 4, max_bounces=5)
+    a, b = np.asarray(f1), np.asarray(f2)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.05
+    assert abs(a.std() - b.std()) / a.std() < 0.1
+    # genuinely different realization
+    assert np.abs(a - b).mean() > 0.01
