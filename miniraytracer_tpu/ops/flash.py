@@ -240,8 +240,9 @@ def _sphere_kernel(cb_ref, cc_ref, f_ref, inside_ref, tmin_ref,
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
     f = f_ref[:]  # (16, NB)
-    b = jnp.dot(cb_ref[:], f, preferred_element_type=jnp.float32)  # (SB, NB)
-    c = jnp.dot(cc_ref[:], f, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # see _kernel: TPU default bf16 corrupts
+    b = jnp.dot(cb_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+    c = jnp.dot(cc_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
 
     inside = inside_ref[:]  # (1, NB)
     tmin = tmin_ref[0]
@@ -277,10 +278,16 @@ def _kernel(cdet_ref, cuu_ref, cvv_ref, ctn_ref, f_ref, inside_ref, tmin_ref,
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
     f = f_ref[:]  # (16, NB)
-    det = jnp.dot(cdet_ref[:], f, preferred_element_type=jnp.float32)  # (TB, NB)
-    uu = jnp.dot(cuu_ref[:], f, preferred_element_type=jnp.float32)
-    vv = jnp.dot(cvv_ref[:], f, preferred_element_type=jnp.float32)
-    tn = jnp.dot(ctn_ref[:], f, preferred_element_type=jnp.float32)
+    # precision: the TPU MXU default computes f32 dots in ONE bf16 pass
+    # (~0.4% relative error — measured to corrupt hit tests at coordinate
+    # scale ~500: winner agreement fell to 63%). HIGHEST restores exactness;
+    # HIGH (bf16_3x) is a candidate ~2x-faster middle ground pending
+    # on-device validation.
+    hi = jax.lax.Precision.HIGHEST
+    det = jnp.dot(cdet_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+    uu = jnp.dot(cuu_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+    vv = jnp.dot(cvv_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+    tn = jnp.dot(ctn_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
 
     inside = inside_ref[:]  # (1, NB) f32: 1.0 when ray.isInside > 0
     tmin = tmin_ref[0]
@@ -459,7 +466,8 @@ def _scatter_rows(idx, w, t_rows):
         rows = jnp.arange(c0, c1, dtype=jnp.int32)
         onehot = (rows[:, None] == idx32[None, :]).astype(jnp.float32)  # (kc, N)
         out = out.at[c0:c1].set(
-            jnp.dot(onehot, w, preferred_element_type=jnp.float32)
+            jnp.dot(onehot, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         )
     return out
 

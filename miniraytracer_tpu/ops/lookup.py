@@ -72,7 +72,8 @@ def lookup_cols(idx: jnp.ndarray, cols):
         rows = jnp.arange(c0, c1, dtype=jnp.int32)
         onehot = (rows[:, None] == idx32[None, :]).astype(jnp.float32)  # (kc, N)
         out = out + jnp.dot(
-            tab[:, c0:c1], onehot, preferred_element_type=jnp.float32
+            tab[:, c0:c1], onehot, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16 passes
         )
     return tuple(out[d].astype(c.dtype) for d, c in enumerate(cols))
 
