@@ -78,7 +78,14 @@ struct Builder {
     return code;
   }
 
-  void subdivide(int32_t ni) {
+  // Depth past which the split MUST be a median split: midpoint partitions
+  // can degenerate to 1:(n-1) on skewed centroid distributions, producing
+  // depth O(n) and overflowing the device traversal's fixed short stack
+  // (ops/bvh.py MAX_STACK = 48). Median splits halve the count, so total
+  // depth <= MEDIAN_DEPTH + ceil(log2(n)) <= 22 + 24 = 46 < 48 for n < 16M.
+  static constexpr int kMedianDepth = 22;
+
+  void subdivide(int32_t ni, int depth) {
     Node& nd = nodes[ni];
     if (nd.count <= leaf_size) return;
 
@@ -101,30 +108,39 @@ struct Builder {
       }
     }
     if (ext <= 0.0f) {  // all centroids identical: arbitrary halves
-      make_children(ni, nd.first + nd.count / 2, axis);
+      make_children(ni, nd.first + nd.count / 2, axis, depth);
       return;
     }
 
-    // midpoint partition (triangle.h:109-128)
-    const float split = 0.5f * (clo[axis] + chi[axis]);
     int32_t* beg = order.data() + nd.first;
     int32_t* end = beg + nd.count;
-    int32_t* mid = std::partition(beg, end, [&](int32_t p) {
-      return centroid[3 * p + axis] < split;
-    });
-    int32_t mid_idx = static_cast<int32_t>(mid - order.data());
-    if (mid_idx == nd.first || mid_idx == nd.first + nd.count) {
-      // degenerate: median split fallback
-      mid_idx = nd.first + nd.count / 2;
+    int32_t mid_idx;
+    if (depth >= kMedianDepth) {
+      mid_idx = nd.first + nd.count / 2;  // depth-bounded: median only
       std::nth_element(beg, order.data() + mid_idx, end,
                        [&](int32_t a, int32_t b) {
                          return centroid[3 * a + axis] < centroid[3 * b + axis];
                        });
+    } else {
+      // midpoint partition (triangle.h:109-128)
+      const float split = 0.5f * (clo[axis] + chi[axis]);
+      int32_t* mid = std::partition(beg, end, [&](int32_t p) {
+        return centroid[3 * p + axis] < split;
+      });
+      mid_idx = static_cast<int32_t>(mid - order.data());
+      if (mid_idx == nd.first || mid_idx == nd.first + nd.count) {
+        // degenerate: median split fallback
+        mid_idx = nd.first + nd.count / 2;
+        std::nth_element(beg, order.data() + mid_idx, end,
+                         [&](int32_t a, int32_t b) {
+                           return centroid[3 * a + axis] < centroid[3 * b + axis];
+                         });
+      }
     }
-    make_children(ni, mid_idx, axis);
+    make_children(ni, mid_idx, axis, depth);
   }
 
-  void make_children(int32_t ni, int32_t mid, int axis) {
+  void make_children(int32_t ni, int32_t mid, int axis, int depth) {
     const int32_t li = static_cast<int32_t>(nodes.size());
     Node l{}, r{};
     l.first = nodes[ni].first;
@@ -140,8 +156,8 @@ struct Builder {
     nodes[ni].left = li;
     nodes[ni].order = order_code(nodes[li], nodes[li + 1], axis);
     nodes[ni].count = 0;  // interior
-    subdivide(li);
-    subdivide(li + 1);
+    subdivide(li, depth + 1);
+    subdivide(li + 1, depth + 1);
   }
 };
 
@@ -175,7 +191,7 @@ int32_t mrt_bvh_build(const float* bmin, const float* bmax, int32_t n,
   root.left = -1;
   b.nodes.push_back(root);
   b.update_bounds(b.nodes[0]);
-  b.subdivide(0);
+  b.subdivide(0, 0);
 
   const int32_t node_count = static_cast<int32_t>(b.nodes.size());
   for (int32_t i = 0; i < node_count; ++i) {

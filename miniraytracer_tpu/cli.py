@@ -29,10 +29,13 @@ def build_parser():
     )
     # reference flags + defaults (cmdline_parser.h:5-18); argparse accepts
     # both -width and --width for single-dash long names
-    p.add_argument("-width", type=int, default=500, help="image width [100,4096]")
-    p.add_argument("-height", type=int, default=500, help="image height [100,4096]")
-    p.add_argument("-samples", type=int, default=128, help="samples per pixel (rounded down to a square)")
-    p.add_argument("-tilesize", type=int, default=32, help="tile size (preview ordering granularity)")
+    p.add_argument("-width", type=int, default=500, help="image width [16,8192]")
+    p.add_argument("-height", type=int, default=500, help="image height [16,8192]")
+    p.add_argument("-samples", type=int, default=128,
+                   help="samples per pixel [1,1000000] (rounded down to a square)")
+    p.add_argument("-tilesize", type=int, default=32,
+                   help="tile size [1,512] — granularity of the inverted-"
+                        "Hilbert preview sweep in progressive -preview mode")
     p.add_argument("-threads", type=int, default=0, help="accepted for parity; device count rules on TPU")
     p.add_argument("-depth", type=int, default=32, help="max bounces")
     p.add_argument("-scene", type=int, default=8, help="scene index 0-8 (scene.h:6-17)")
@@ -71,6 +74,7 @@ def _validate(args):
     args.width = clamp("width", args.width, 16, 8192)
     args.height = clamp("height", args.height, 16, 8192)
     args.samples = clamp("samples", args.samples, 1, 1_000_000)
+    args.tilesize = clamp("tilesize", args.tilesize, 1, 512)
     args.depth = clamp("depth", args.depth, 1, 1024)
     args.scene = clamp("scene", args.scene, 0, 8)
     return args
@@ -140,35 +144,72 @@ def main(argv=None):
         offs, ns = integ.sample_offsets(args.samples)
         frame_flat = (jnp.asarray(init_frame) if init_frame is not None
                       else jnp.zeros((args.width * args.height, 3), jnp.float32))
-        rays_total = 0.0
+        ray_counts = []  # device scalars; summed once at the end
         t_start = time.perf_counter()
         ml = jnp.float32(args.maxlum)
+
+        # -preview: sweep each pass in inverted-Hilbert tile-order batches
+        # (work_queue.cpp:84-127) so the preview refines uniformly like the
+        # reference's live window; refreshed at most ~2 Hz (main.cpp:387-488
+        # refreshes on a timer, not per tile)
+        batches = None
+        last_preview = [0.0]
+        if args.preview:
+            from miniraytracer_tpu.utils.runtime import tile_pixel_batches
+
+            batches = [jnp.asarray(b, jnp.uint32) for b in
+                       tile_pixel_batches(args.width, args.height, args.tilesize)]
+
+        def write_preview(force=False):
+            now = time.perf_counter()
+            if not force and now - last_preview[0] < 0.5:
+                return
+            last_preview[0] = now
+            pv = np.asarray(frame_flat).reshape(args.height, args.width, 3)
+            save_png(args.preview, np.asarray(tm.drago(jnp.asarray(pv))))
+
         for i in range(start_pass, ns):
-            frame_flat, rays = integ.render_pass(
-                scene, frame_flat, jnp.int32(i), offs[i], ml,
-                width=args.width, height=args.height,
-                max_bounces=args.depth, loop="while",
-            )
+            if batches is not None:
+                for pix in batches:
+                    rows, rays = integ.render_tile_pass(
+                        scene, frame_flat[pix], pix, jnp.int32(i), offs[i], ml,
+                        width=args.width, height=args.height,
+                        max_bounces=args.depth, loop="while",
+                    )
+                    frame_flat = frame_flat.at[pix].set(rows)
+                    ray_counts.append(rays)
+                    write_preview()
+            else:
+                frame_flat, rays = integ.render_pass(
+                    scene, frame_flat, jnp.int32(i), offs[i], ml,
+                    width=args.width, height=args.height,
+                    max_bounces=args.depth, loop="while",
+                )
+                ray_counts.append(rays)
             if (i + 1) % max(args.checkpoint_every, 1) == 0 or i == ns - 1:
                 frame_flat.block_until_ready()
-                rays_total = float(rays) if rays_total == 0 else rays_total  # keep last
                 elapsed = time.perf_counter() - t_start
                 done = i + 1 - start_pass
                 pct = 100.0 * (i + 1) / ns
                 eta = elapsed / max(done, 1) * (ns - i - 1)
-                print(f"pass {i+1}/{ns}  {pct:5.1f}%  elapsed {elapsed:6.1f}s  eta {eta:6.1f}s")
+                rays_so_far = float(sum(float(r) for r in ray_counts))
+                mrays = rays_so_far / elapsed / 1e6 if elapsed > 0 else 0.0
+                print(f"pass {i+1}/{ns}  {pct:5.1f}%  elapsed {elapsed:6.1f}s  "
+                      f"eta {eta:6.1f}s  {mrays:.2f} Mrays/s")
                 if args.checkpoint:
-                    save_checkpoint(
+                    written = save_checkpoint(
                         args.checkpoint, np.asarray(frame_flat), i + 1,
                         {"width": args.width, "height": args.height,
                          "scene": args.scene, "samples": ns, "depth": args.depth},
                     )
+                    print(f"checkpoint -> {written}")
                 if args.preview:
-                    pv = np.asarray(frame_flat).reshape(args.height, args.width, 3)
-                    save_png(args.preview, np.asarray(tm.drago(jnp.asarray(pv))))
+                    write_preview(force=True)
         frame = np.asarray(frame_flat).reshape(args.height, args.width, 3)
-        stats = {"seconds": time.perf_counter() - t_start, "spp": ns,
-                 "rays": 0.0, "mrays_per_s": 0.0}
+        rays_total = float(sum(float(r) for r in ray_counts))
+        elapsed = time.perf_counter() - t_start
+        stats = {"seconds": elapsed, "spp": ns, "rays": rays_total,
+                 "mrays_per_s": rays_total / elapsed / 1e6 if elapsed > 0 else 0.0}
 
     if stats.get("rays"):
         us_per_ray = stats["seconds"] / stats["rays"] * 1e6

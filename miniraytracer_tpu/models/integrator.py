@@ -662,6 +662,30 @@ def render_pixels(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces", "loop"))
+def render_tile_pass(
+    scene: T.SceneData,
+    frame_rows: jnp.ndarray,  # (B, 3) running-average rows for `pix`
+    pix: jnp.ndarray,  # (B,) u32 pixel ids (one Hilbert-ordered tile batch)
+    sample_idx: jnp.ndarray,  # () i32
+    offset: jnp.ndarray,  # (2,)
+    max_lum: jnp.ndarray,  # ()
+    *,
+    width: int,
+    height: int,
+    max_bounces: int,
+    loop: str = "while",
+):
+    """One progressive pass over one tile batch (the device program behind
+    the CLI's -preview mode, which sweeps the frame in the reference's
+    inverted-Hilbert tile order per pass — work_queue.cpp:84-127,
+    main.cpp:416-444). Returns (frame_rows', rays_traced)."""
+    return render_pixels(
+        scene, frame_rows, pix, sample_idx, offset, max_lum,
+        width=width, height=height, max_bounces=max_bounces, loop=loop,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_bounces", "loop"))
 def render_pass(
     scene: T.SceneData,
     frame: jnp.ndarray,  # (H*W, 3) running average

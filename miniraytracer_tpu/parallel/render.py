@@ -38,15 +38,18 @@ def _make_pass_fn(mesh: Mesh, width: int, height: int, max_bounces: int, loop: s
     n_pad = _padded_size(n_pix, ndp)
     local = n_pad // ndp
 
-    def body(scene, frame_l, sample_idx, offset_all, max_lum):
+    def body(scene, frame_l, sample_idx, offset_all, max_lum, n_active):
         # global pixel ids for this dp shard; padding lanes re-render pixel 0
         # (their rows are sliced off on output)
         base = jax.lax.axis_index("dp") * local
         pix = base + jnp.arange(local, dtype=jnp.uint32)
         pix = jnp.minimum(pix, jnp.uint32(n_pix - 1))
-        # this sp slice renders pass sample_idx + sp_index
+        # this sp slice renders pass sample_idx + sp_index; slices past
+        # n_active (the final partial step when spp % nsp != 0) are masked
+        # out of the merge so no pixel ever gets more than spp samples
         sp_i = jax.lax.axis_index("sp")
-        my_sample = sample_idx + sp_i
+        active = sp_i < n_active
+        my_sample = sample_idx + jnp.minimum(sp_i, n_active - 1)
         offset = offset_all[sp_i % offset_all.shape[0]]
 
         radiance_v, rays = integ.sample_radiance(
@@ -57,11 +60,12 @@ def _make_pass_fn(mesh: Mesh, width: int, height: int, max_bounces: int, loop: s
         # NaN guard per sample: non-finite -> running average (main.cpp:214-219)
         finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
         prev = jnp.where(sample_idx > 0, frame_l, jnp.zeros_like(frame_l))
-        color = jnp.where(finite, radiance, prev)
-        # mean over the sp passes rendered this step
-        color = jax.lax.psum(color, "sp") / nsp
-        new_frame = integ.merge_pass(frame_l, color, sample_idx, float(nsp), max_lum)
-        rays = jax.lax.psum(rays, ("dp", "sp"))
+        color = jnp.where(finite & active, radiance, jnp.where(active, prev, 0.0))
+        # mean over the active sp passes rendered this step
+        n_act_f = n_active.astype(jnp.float32)
+        color = jax.lax.psum(color, "sp") / n_act_f
+        new_frame = integ.merge_pass(frame_l, color, sample_idx, n_act_f, max_lum)
+        rays = jax.lax.psum(jnp.where(active, rays, 0.0), ("dp", "sp"))
         return new_frame, rays
 
     # check_vma off: the wavefront while_loop carry mixes varying (rays) and
@@ -70,7 +74,7 @@ def _make_pass_fn(mesh: Mesh, width: int, height: int, max_bounces: int, loop: s
     sharded = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P("dp"), P(), P(), P()),
+        in_specs=(P(), P("dp"), P(), P(), P(), P()),
         out_specs=(P("dp"), P()),
         check_vma=False,
     )
@@ -80,16 +84,22 @@ def _make_pass_fn(mesh: Mesh, width: int, height: int, max_bounces: int, loop: s
 def render_pass_sharded(
     scene, frame, sample_idx, offsets, max_lum, *,
     width: int, height: int, max_bounces: int, mesh: Mesh, loop: str = "while",
+    n_active=None,
 ):
-    """One sharded progressive step: renders mesh.shape['sp'] sample passes
-    (indices sample_idx .. sample_idx+nsp-1) over all pixels.
+    """One sharded progressive step: renders min(nsp, n_active) sample passes
+    (indices sample_idx ..) over all pixels.
 
     `frame` is the padded (padded_n, 3) running average sharded P('dp');
     `offsets` is the full (ns, 2) stratified offset table (each sp slice
-    picks its row). Returns (frame', total rays this step).
+    picks its row). `n_active` (traced ok) caps how many sp slices merge —
+    the final partial step of a render with spp % nsp != 0.
+    Returns (frame', total rays this step).
     """
     fn = _make_pass_fn(mesh, width, height, max_bounces, loop)
-    return fn(scene, frame, sample_idx, offsets, max_lum)
+    if n_active is None:
+        n_active = mesh.shape["sp"]
+    return fn(scene, frame, sample_idx, offsets, max_lum,
+              jnp.int32(n_active) if not hasattr(n_active, "dtype") else n_active)
 
 
 @lru_cache(maxsize=32)
@@ -281,7 +291,7 @@ def render_distributed(
         frame, rays = render_pass_sharded(
             scene, frame, jnp.int32(i), offs_i, ml,
             width=width, height=height, max_bounces=max_bounces,
-            mesh=mesh, loop=loop,
+            mesh=mesh, loop=loop, n_active=min(nsp, ns - i),
         )
         ray_counts.append(rays)
         i += nsp

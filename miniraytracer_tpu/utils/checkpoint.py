@@ -19,8 +19,17 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, frame, sample_idx: int, config: dict):
-    """frame: (H*W, 3) or (H, W, 3) running average after `sample_idx` passes."""
+def checkpoint_path(path: str) -> str:
+    """Canonical on-disk path: np.savez appends '.npz' when missing, so both
+    save and load normalize to it (a bare '-checkpoint X' then '-resume X'
+    must round-trip)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_checkpoint(path: str, frame, sample_idx: int, config: dict) -> str:
+    """frame: (H*W, 3) or (H, W, 3) running average after `sample_idx` passes.
+    Returns the actual file path written (with '.npz' appended if needed)."""
+    path = checkpoint_path(path)
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
@@ -28,10 +37,12 @@ def save_checkpoint(path: str, frame, sample_idx: int, config: dict):
         sample_idx=np.int64(sample_idx),
         config=json.dumps(config),
     )
+    return path
 
 
 def load_checkpoint(path: str):
     """Returns (frame, sample_idx, config dict)."""
+    path = checkpoint_path(path)
     with np.load(path, allow_pickle=False) as z:
         if int(z["version"]) != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {int(z['version'])}")

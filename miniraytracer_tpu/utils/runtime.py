@@ -117,7 +117,13 @@ def _bvh_build_numpy(bmin, bmax, leaf_size):
                 code |= 1 << oct_
         return code
 
-    def subdivide(ni):
+    # depth past which splits MUST be median: midpoint partitions can
+    # degenerate to 1:(n-1), overflowing the traversal's fixed short stack
+    # (ops/bvh.py MAX_STACK = 48). Median halves the count, so total depth
+    # <= 22 + ceil(log2(n)) <= 46 < 48 for n < 16M (mirrors csrc/bvh.cpp).
+    MEDIAN_DEPTH = 22
+
+    def subdivide(ni, depth):
         _, first, count, _ = meta[ni]
         if count <= leaf_size:
             return
@@ -126,6 +132,10 @@ def _bvh_build_numpy(bmin, bmax, leaf_size):
         ext = c.max(0) - c.min(0)
         axis = int(np.argmax(ext))
         if ext[axis] <= 0:
+            mid = first + count // 2
+        elif depth >= MEDIAN_DEPTH:
+            key = c[:, axis]
+            order[first : first + count] = sel[np.argsort(key, kind="stable")]
             mid = first + count // 2
         else:
             split = 0.5 * (c[:, axis].min() + c[:, axis].max())
@@ -141,8 +151,8 @@ def _bvh_build_numpy(bmin, bmax, leaf_size):
         new_node(mid, first + count - mid)
         meta[ni] = [li, first, 0, 0]
         meta[ni][3] = order_code(li, axis)
-        subdivide(li)
-        subdivide(li + 1)
+        subdivide(li, depth + 1)
+        subdivide(li + 1, depth + 1)
 
     import sys
 
@@ -150,7 +160,7 @@ def _bvh_build_numpy(bmin, bmax, leaf_size):
     sys.setrecursionlimit(max(old_limit, 10000 + 2 * n))
     try:
         new_node(0, n)
-        subdivide(0)
+        subdivide(0, 0)
     finally:
         sys.setrecursionlimit(old_limit)
     return (
@@ -250,6 +260,41 @@ def tile_order(tiles_x: int, tiles_y: int, mode: int = TILE_HILBERT | TILE_INVER
         )
         return out
     return _tile_order_numpy(tiles_x, tiles_y, mode)
+
+
+def tile_pixel_batches(width: int, height: int, tilesize: int,
+                       n_batches: int = 8,
+                       mode: int = TILE_HILBERT | TILE_INVERT):
+    """Split the frame's pixel ids into `n_batches` equal-size batches that
+    together sweep the tiles in `tile_order` (inverted Hilbert by default) —
+    the progressive-preview schedule (work_queue.cpp:84-127): rendering the
+    batches in order refines the frame uniformly, like the reference's live
+    window. Pixel ids use the framebuffer layout x + y*width. The final
+    batch is padded by repeating the last pixel id (harmless: duplicate
+    lanes compute identical merged rows).
+
+    Returns a list of (B,) int64 numpy arrays, equal B across batches.
+    """
+    tilesize = max(1, int(tilesize))
+    tx = -(-width // tilesize)
+    ty = -(-height // tilesize)
+    order = tile_order(tx, ty, mode)
+    ids = np.empty((width * height,), np.int64)
+    pos = 0
+    for t in order:
+        x0 = int(t % tx) * tilesize
+        y0 = int(t // tx) * tilesize
+        xs = np.arange(x0, min(x0 + tilesize, width))
+        ys = np.arange(y0, min(y0 + tilesize, height))
+        tile_ids = (xs[None, :] + ys[:, None] * width).ravel()
+        ids[pos : pos + tile_ids.size] = tile_ids
+        pos += tile_ids.size
+    assert pos == width * height
+    n_batches = max(1, min(n_batches, width * height))
+    bsize = -(-ids.size // n_batches)
+    padded = np.concatenate([ids, np.full((bsize * n_batches - ids.size,),
+                                          ids[-1], np.int64)])
+    return [padded[i * bsize : (i + 1) * bsize] for i in range(n_batches)]
 
 
 def _hilbert_d2xy(side, d):

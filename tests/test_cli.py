@@ -56,3 +56,42 @@ def test_cli_wavefront_writes_image(tmp_path):
     im = np.asarray(Image.open(out))
     assert im.shape == (20, 20, 3)
     assert im.max() > 0
+
+
+def test_checkpoint_path_without_npz_roundtrips(tmp_path):
+    # np.savez appends '.npz' on save; load must normalize the same way
+    p = str(tmp_path / "bare")
+    frame = np.random.default_rng(1).uniform(size=(16, 3)).astype(np.float32)
+    written = save_checkpoint(p, frame, 3, {"scene": 1})
+    assert written.endswith(".npz") and os.path.exists(written)
+    f2, s2, cfg = load_checkpoint(p)  # bare path resolves too
+    np.testing.assert_array_equal(frame, f2)
+    assert s2 == 3
+
+
+def test_cli_progressive_reports_mrays(capsys, tmp_path):
+    out = str(tmp_path / "m.png")
+    main(["-scene", "2", "-width", "16", "-height", "16", "-samples", "4",
+          "-depth", "2", "-mode", "1", "-out", out])
+    cap = capsys.readouterr().out
+    assert "Mrays/s" in cap  # main.cpp:403-406: throughput in every mode
+    assert "us/ray" in cap
+
+
+def test_cli_preview_hilbert_matches_whole_frame(tmp_path):
+    """-preview sweeps each pass in inverted-Hilbert tile batches; the final
+    image must equal the whole-frame progressive render exactly (same
+    per-(pixel,sample) keys, same merge), and the preview file must exist."""
+    from PIL import Image
+
+    out_a = str(tmp_path / "a.png")
+    out_b = str(tmp_path / "b.png")
+    pv = str(tmp_path / "pv.png")
+    common = ["-scene", "2", "-width", "24", "-height", "20", "-samples", "4",
+              "-depth", "3", "-mode", "1", "-tilesize", "8"]
+    main(common + ["-out", out_a])
+    main(common + ["-out", out_b, "-preview", pv])
+    assert os.path.exists(pv)
+    a = np.asarray(Image.open(out_a)).astype(np.int32)
+    b = np.asarray(Image.open(out_b)).astype(np.int32)
+    assert np.abs(a - b).max() <= 1  # u8 rounding of identical floats

@@ -161,3 +161,15 @@ def test_gradients_match_finite_differences():
         fd = (loss_of(apply_params(scene, p_hi)) - loss_of(apply_params(scene, p_lo))) / (2 * eps)
         ad = g.tex_c0[ti, ch]
         np.testing.assert_allclose(float(ad), float(fd), rtol=2e-2)
+
+
+def test_sharded_progressive_partial_final_step():
+    """spp % nsp != 0: the final step must merge only the remaining passes
+    (previously a full nsp block was merged, overshooting spp)."""
+    scene = two_spheres(1.0)
+    f0, s0 = integ.render(scene, 24, 24, 9, max_bounces=4)
+    mesh = make_mesh(4, 2)  # nsp=2, 9 passes -> final step has 1 active slice
+    f1, s1 = render_distributed(scene, 24, 24, 9, mesh, max_bounces=4)
+    np.testing.assert_allclose(np.asarray(f0), f1, atol=5e-6)
+    assert s1["rays"] == s0["rays"]
+    assert s1["spp"] == 9

@@ -116,3 +116,46 @@ def test_obj_known_face_counts():
     for name, expect in counts.items():
         _, _, f = rt.obj_parse(os.path.join(REF_OBJ, name))
         assert f.shape[0] == expect, name
+
+
+def test_bvh_depth_bounded_on_adversarial_distribution():
+    """Exponentially clustered centroids force near-1:(n-1) midpoint splits;
+    without the depth-bounded median fallback the tree depth grows O(n) and
+    overflows the traversal's MAX_STACK=48 short stack."""
+    n = 4000
+    x = np.geomspace(1.0, 1e-30, n).astype(np.float32)
+    bmin = np.stack([x, np.zeros_like(x), np.zeros_like(x)], 1)
+    bmax = bmin + np.float32(1e-6)
+
+    def max_depth(nm):
+        depth = {0: 0}
+        worst = 0
+        stack = [0]
+        while stack:
+            ni = stack.pop()
+            left, _, count, _ = nm[ni]
+            worst = max(worst, depth[ni])
+            if count == 0:
+                depth[left] = depth[left + 1] = depth[ni] + 1
+                stack += [left, left + 1]
+        return worst
+
+    for build in ([rt.bvh_build] if rt.native_available() else []) + [rt._bvh_build_numpy]:
+        nb, nm, po = build(bmin, bmax, 4)
+        _check_bvh(bmin, bmax, nb, nm, po, 4)
+        assert max_depth(nm) <= 46, build.__name__
+
+
+def test_tile_pixel_batches_cover_frame_in_hilbert_order():
+    w, h, ts = 50, 34, 8
+    batches = rt.tile_pixel_batches(w, h, ts, n_batches=6)
+    assert len(batches) == 6
+    sizes = {b.size for b in batches}
+    assert len(sizes) == 1  # equal batch sizes (padded)
+    allpix = np.concatenate(batches)
+    assert set(allpix.tolist()) == set(range(w * h))  # full coverage
+    # the first batch must start exactly with tile_order's first tiles
+    tx = -(-w // ts)
+    first_tile = rt.tile_order(tx, -(-h // ts))[0]
+    x0, y0 = (first_tile % tx) * ts, (first_tile // tx) * ts
+    assert batches[0][0] == x0 + y0 * w
