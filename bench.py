@@ -40,9 +40,11 @@ def _health_probe(q):  # module-level: spawn requires picklability
         q.put(False)
 
 
-def _tpu_healthy(timeout_s: float = 45.0) -> bool:
+def _tpu_healthy(timeout_s: float = 240.0) -> bool:
     """Probe the device with a hard deadline (the axon tunnel can hang a
-    trivial op for minutes when it is down)."""
+    trivial op for minutes when it is down). The deadline must cover the
+    COLD first-op cost of a fresh process (~2-3 min measured even when the
+    tunnel is up) — a 45 s probe reports false negatives forever."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
@@ -67,6 +69,11 @@ def main():
     ap.add_argument("--bounces", type=int, default=32)
     ap.add_argument("--fwd-passes", type=int, default=16)
     ap.add_argument("--fwdbwd-steps", type=int, default=4)
+    ap.add_argument("--pack", type=int, default=16,
+                    help="samples per lane in the packed AD scan (1 = legacy "
+                         "full-width scan)")
+    ap.add_argument("--scan-steps", type=int, default=0,
+                    help="packed scan trip count (0 = pack*6 + bounces + 1)")
     ap.add_argument("--scene", type=str, default="cornell_box")
     ap.add_argument("--wait-minutes", type=float, default=12.0,
                     help="how long to wait for the TPU tunnel before falling "
@@ -138,7 +145,8 @@ def main():
     jax.block_until_ready(frame)
 
     # ---- forward+backward training step (headline) ----
-    step = make_train_step(mesh, width=W, height=H, max_bounces=B)
+    step = make_train_step(mesh, width=W, height=H, max_bounces=B,
+                           pack=args.pack, scan_steps=args.scan_steps)
     params = extract_params(scene)
     target = frame  # use the partially converged render as the target
     lr = jnp.float32(0.0)
@@ -173,6 +181,7 @@ def main():
             "devices": n_dev,
             "bounces": B,
             "scene": scene.name,
+            "pack": args.pack,
         },
     }
     try:

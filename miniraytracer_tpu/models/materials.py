@@ -70,16 +70,18 @@ def fresnel_schlick(cosine, ref_index):
     return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
 
 
-def shade(scene: T.SceneData, rays: Rays, rec: HitRecord, keys, depth_ok) -> Scatter:
+def shade(scene: T.SceneData, rays: Rays, rec: HitRecord, keys, depth_ok,
+          accel=None) -> Scatter:
     """One shading event for all rays (assumes rec.hit; caller masks).
 
     `keys` are per-bounce ray keys; `depth_ok` is the static/per-ray
-    depth < maxBounces gate (main.cpp:79).
+    depth < maxBounces gate (main.cpp:79). `accel` optionally carries
+    precomputed kernel operands (e.g. the fused Perlin tables).
     """
     mtype, mparam, tex_id = lookup_cols(
         rec.mat, (scene.mat_type, scene.mat_param, scene.mat_tex)
     )
-    albedo = sample_texture(scene, tex_id, rec.u, rec.v, rec.p)
+    albedo = sample_texture(scene, tex_id, rec.u, rec.v, rec.p, accel=accel)
 
     n = rec.n
     rd = rays.rd

@@ -141,8 +141,13 @@ def image_sample(scene: T.SceneData, img_id, h, w, u, v) -> V3:
     )
 
 
-def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3) -> V3:
-    """Batched texture::sample for per-ray texture ids (N,) -> V3 color."""
+def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3,
+                   accel=None) -> V3:
+    """Batched texture::sample for per-ray texture ids (N,) -> V3 color.
+
+    When `accel` carries a "perlin" entry (the (perm6, vec3) operand pair
+    built by intersect.make_accel), turbulence dispatches to the fused
+    Pallas kernel (ops/noise.py) instead of the XLA gather chain."""
     (ttype, c0x, c0y, c0z, c1x, c1y, c1z, scale, img_id) = lookup_cols(
         tex_id,
         (
@@ -162,7 +167,13 @@ def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3) -> V3:
     out = vwhere((ttype == T.TEX_CHECKER) & (sines < 0), c1, out)
 
     if scene.has_perlin:
-        turb = perlin_turbulence(scene, p * scale)
+        perlin_ops = accel.get("perlin") if isinstance(accel, dict) else None
+        if perlin_ops is not None:
+            from miniraytracer_tpu.ops import noise
+
+            turb = noise.flash_turbulence(perlin_ops[0], perlin_ops[1], p * scale)
+        else:
+            turb = perlin_turbulence(scene, p * scale)
         out = vwhere(ttype == T.TEX_PERLIN, V3(turb, turb, turb), out)
 
     if scene.has_image:

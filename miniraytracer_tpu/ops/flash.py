@@ -61,6 +61,25 @@ TRI_BLOCK = 256
 NUM_FEATURES = 16  # triangle features
 SPH_FEATURES = 24  # sphere features: 17 real + zero-pad to a sublane multiple
 
+# MXU precision for the coefficient matmuls. The TPU default computes f32
+# dots in ONE bf16 pass (~0.4% relative error — measured to corrupt hit
+# tests at coordinate scale ~500: winner agreement fell to 63%). HIGHEST
+# restores exactness; HIGH (bf16_3x) is the measured-on-device middle
+# ground (see STATUS.md precision post-mortem). Module-level knob so the
+# validation harness can sweep it.
+_PRECISION = None  # set below
+
+
+def set_precision(p):
+    global _PRECISION
+    _PRECISION = p
+
+
+try:
+    _PRECISION = jax.lax.Precision.HIGHEST
+except Exception:  # pragma: no cover
+    pass
+
 
 def _cross_cols(a: V3, b: V3):
     return (
@@ -240,7 +259,7 @@ def _sphere_kernel(cb_ref, cc_ref, f_ref, inside_ref, tmin_ref,
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
     f = f_ref[:]  # (16, NB)
-    hi = jax.lax.Precision.HIGHEST  # see _kernel: TPU default bf16 corrupts
+    hi = _PRECISION  # see module knob: TPU default bf16 corrupts
     b = jnp.dot(cb_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
     c = jnp.dot(cc_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
 
@@ -278,12 +297,7 @@ def _kernel(cdet_ref, cuu_ref, cvv_ref, ctn_ref, f_ref, inside_ref, tmin_ref,
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
     f = f_ref[:]  # (16, NB)
-    # precision: the TPU MXU default computes f32 dots in ONE bf16 pass
-    # (~0.4% relative error — measured to corrupt hit tests at coordinate
-    # scale ~500: winner agreement fell to 63%). HIGHEST restores exactness;
-    # HIGH (bf16_3x) is a candidate ~2x-faster middle ground pending
-    # on-device validation.
-    hi = jax.lax.Precision.HIGHEST
+    hi = _PRECISION  # module knob (default HIGHEST; see header comment)
     det = jnp.dot(cdet_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
     uu = jnp.dot(cuu_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
     vv = jnp.dot(cvv_ref[:], f, preferred_element_type=jnp.float32, precision=hi)

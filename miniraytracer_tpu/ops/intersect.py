@@ -506,6 +506,16 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
         accel["tri" + suffix] = flash.tri_coefficients(m, u, v, scene.tri_active)
     if scene.n_spheres >= FLASH_MIN_SPHERES:
         accel["sph" + suffix] = flash.sphere_coefficients(scene)
+    # fused Pallas Perlin-turbulence (forward-only: the AD path keeps the
+    # differentiable XLA texture path)
+    if scene.has_perlin and not scene.fast_perlin and not differentiable:
+        from miniraytracer_tpu.ops import noise
+
+        if noise.HAVE_PALLAS:
+            accel["perlin"] = (
+                noise.perm6_table(scene.perlin_px, scene.perlin_py, scene.perlin_pz),
+                jnp.asarray(scene.perlin_vec.T),
+            )
     return accel or None
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from miniraytracer_tpu.models import integrator as integ
+from miniraytracer_tpu.ops.vecmath import V3
 from miniraytracer_tpu.scene import types as T
 
 
@@ -62,12 +63,17 @@ def apply_params(scene: T.SceneData, p: TrainParams) -> T.SceneData:
 
 
 @lru_cache(maxsize=16)
-def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int):
+def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
+               pack: int = 1, scan_steps: int = 0):
     ndp = mesh.shape["dp"]
     nsp = mesh.shape["sp"]
     n_pix = width * height
     n_pad = -(-n_pix // ndp) * ndp
     local = n_pad // ndp
+    # packed mode renders a pack-aligned item list (tail items repeat the
+    # last pixel and are sliced off) so the frame/target padding rule stays
+    # the render layer's (render.make_frame)
+    local_p = -(-local // pack) * pack
 
     def shard_loss(scene, target_l, sample0, offset_all):
         """Per-mesh-cell partial: render local pixels for this cell's sample
@@ -79,14 +85,43 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int):
         sp_i = jax.lax.axis_index("sp")
         offset = offset_all[sp_i % offset_all.shape[0]]
 
-        radiance_v, _ = integ.sample_radiance(
-            scene, pix, sample0 + sp_i, offset,
-            width=width, height=height, max_bounces=max_bounces, loop="scan",
-        )
+        if pack > 1:
+            # packed regeneration-in-scan: ~pack items per lane instead of
+            # (max_bounces+1) full-width iterations per item (the unpacked
+            # scan runs at <10% lane occupancy for short average paths)
+            pix_items = jnp.concatenate(
+                [pix, jnp.full((local_p - local,), pix[-1], jnp.uint32)]
+            ) if local_p != local else pix
+            radiance_v, done, _ = integ.sample_radiance_packed(
+                scene, pix_items, sample0 + sp_i, offset,
+                width=width, height=height, max_bounces=max_bounces,
+                pack=pack, scan_steps=scan_steps,
+            )
+            if local_p != local:
+                radiance_v = V3(
+                    radiance_v.x[:local], radiance_v.y[:local], radiance_v.z[:local]
+                )
+                done = done[:local]
+            valid = done[:, None]
+        else:
+            radiance_v, _ = integ.sample_radiance(
+                scene, pix, sample0 + sp_i, offset,
+                width=width, height=height, max_bounces=max_bounces, loop="scan",
+            )
+            valid = True
         radiance = radiance_v.arr
-        radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
-        mean_color = jax.lax.psum(radiance, "sp") / nsp
-        err = jnp.where(in_image[:, None], mean_color - target_l, 0.0)
+        radiance = jnp.where(jnp.isfinite(radiance) & valid, radiance, 0.0)
+        # per-pixel mean over the sp samples that completed (all of them in
+        # practice — `done` guards scan_steps mis-sizing from biasing silently)
+        n_valid = jax.lax.psum(
+            jnp.broadcast_to(
+                jnp.asarray(valid & jnp.isfinite(radiance), jnp.float32),
+                radiance.shape,
+            ),
+            "sp",
+        )
+        mean_color = jax.lax.psum(radiance, "sp") / jnp.maximum(n_valid, 1.0)
+        err = jnp.where(in_image[:, None] & (n_valid > 0), mean_color - target_l, 0.0)
         sse = jnp.sum(err * err)
         return jax.lax.psum(sse, ("dp", "sp"))
 
@@ -113,7 +148,8 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int):
     return jax.jit(step)
 
 
-def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int):
+def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
+                    pack: int = 1, scan_steps: int = 0):
     """Jitted SPMD train step.
 
     step(params, scene, target, sample0, offsets, lr)
@@ -121,5 +157,11 @@ def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int):
 
     `target` must be the padded (padded_n, 3) flat image (see
     render.make_frame for the padding rule), sharded or shardable P('dp').
+
+    `pack` > 1 enables the packed regeneration-in-scan renderer
+    (integ.sample_radiance_packed): ~pack samples per lane, `scan_steps`
+    scan iterations (0 = the renderer's default heuristic). Estimator-equal
+    to pack=1 whenever all items complete; under-budgeted scan_steps drops
+    whole (value-independently selected) samples rather than biasing.
     """
-    return _make_step(mesh, width, height, max_bounces)
+    return _make_step(mesh, width, height, max_bounces, pack, scan_steps)

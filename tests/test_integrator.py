@@ -150,3 +150,58 @@ def test_all_simple_scenes_render_finite():
         f = np.asarray(frame)
         assert np.isfinite(f).all(), scenes.SCENE_NAMES[sid]
         assert f.max() > 0, scenes.SCENE_NAMES[sid]
+
+
+def test_packed_scan_matches_unpacked():
+    """sample_radiance_packed with a generous budget completes every item and
+    reproduces the unpacked scan estimator (same counter-keyed paths)."""
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.models.scenes import cornell_box
+
+    scene = cornell_box(1.0)
+    W = H = 24
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    off = jnp.asarray([0.5, 0.5], jnp.float32)
+    r0, rays0 = integrator.sample_radiance(
+        scene, pix, jnp.int32(0), off, width=W, height=H, max_bounces=8, loop="scan"
+    )
+    r1, done, rays1 = integrator.sample_radiance_packed(
+        scene, pix, jnp.int32(0), off, width=W, height=H, max_bounces=8,
+        pack=8, scan_steps=8 * 8 + 9,
+    )
+    assert bool(done.all())
+    d = np.abs(np.asarray(r0.arr) - np.asarray(r1.arr))
+    # identical up to rare fusion-rounding path divergence at branch
+    # thresholds (same tolerance family as the workqueue renderer)
+    assert np.median(d) == 0.0
+    assert (d > 1e-5).mean() < 5e-3
+    assert abs(float(rays0) - float(rays1)) / float(rays0) < 1e-2
+
+
+def test_packed_scan_truncation_is_observable_not_silent():
+    """With an under-budgeted scan, items are dropped (done=False) — never
+    silently truncated into biased partial radiance."""
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.models.scenes import cornell_box
+
+    scene = cornell_box(1.0)
+    W = H = 16
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    off = jnp.asarray([0.5, 0.5], jnp.float32)
+    r_full, done_full, _ = integrator.sample_radiance_packed(
+        scene, pix, jnp.int32(0), off, width=W, height=H, max_bounces=8,
+        pack=8, scan_steps=8 * 8 + 9,
+    )
+    r_tiny, done_tiny, _ = integrator.sample_radiance_packed(
+        scene, pix, jnp.int32(0), off, width=W, height=H, max_bounces=8,
+        pack=8, scan_steps=12,
+    )
+    assert not bool(done_tiny.all()) and bool(done_tiny.any())
+    assert np.isfinite(np.asarray(r_tiny.arr)).all()
+    # completed items carry the exact same radiance as in the full run
+    m = np.asarray(done_tiny)
+    np.testing.assert_allclose(
+        np.asarray(r_tiny.arr)[m], np.asarray(r_full.arr)[m], atol=1e-6
+    )

@@ -173,3 +173,49 @@ def test_sharded_progressive_partial_final_step():
     np.testing.assert_allclose(np.asarray(f0), f1, atol=5e-6)
     assert s1["rays"] == s0["rays"]
     assert s1["spp"] == 9
+
+
+def test_packed_train_step_matches_unpacked():
+    """pack>1 is an occupancy optimization: same loss, same gradients."""
+    scene = cornell_box(1.0)
+    W = H = 32
+    B = 8
+    mesh = make_mesh(4, 2)
+    offs, _ = integ.sample_offsets(4)
+    frame = make_frame(W, H, mesh)
+    frame, _ = render_pass_sharded(
+        scene, frame, jnp.int32(0), offs, jnp.float32(1000.0),
+        width=W, height=H, max_bounces=B, mesh=mesh,
+    )
+    params = extract_params(scene)
+    lr = jnp.float32(0.0)
+    step1 = make_train_step(mesh, width=W, height=H, max_bounces=B)
+    step8 = make_train_step(mesh, width=W, height=H, max_bounces=B,
+                            pack=8, scan_steps=8 * 8 + B + 1)
+    _, l1, g1 = step1(params, scene, frame, jnp.int32(0), offs, lr)
+    _, l8, g8 = step8(params, scene, frame, jnp.int32(0), offs, lr)
+    assert abs(float(l1) - float(l8)) < 1e-6 * max(1.0, abs(float(l1)))
+    for a, b in zip(g1, g8):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, atol=1e-5 * max(1.0, np.abs(a).max()))
+
+
+def test_packed_train_step_pixel_count_not_pack_aligned():
+    # 23*23 = 529 pixels over dp=4 -> local=133 (not divisible by pack=8)
+    scene = two_spheres(1.0)
+    W = H = 23
+    B = 4
+    mesh = make_mesh(4, 1)
+    offs, _ = integ.sample_offsets(4)
+    frame = make_frame(W, H, mesh)
+    frame, _ = render_pass_sharded(
+        scene, frame, jnp.int32(0), offs, jnp.float32(1000.0),
+        width=W, height=H, max_bounces=B, mesh=mesh,
+    )
+    params = extract_params(scene)
+    step1 = make_train_step(mesh, width=W, height=H, max_bounces=B)
+    step8 = make_train_step(mesh, width=W, height=H, max_bounces=B, pack=8)
+    _, l1, _ = step1(params, scene, frame, jnp.int32(0), offs, jnp.float32(0.0))
+    _, l8, _ = step8(params, scene, frame, jnp.int32(0), offs, jnp.float32(0.0))
+    assert abs(float(l1) - float(l8)) < 1e-6 * max(1.0, abs(float(l1)))
