@@ -331,6 +331,297 @@ def _kernel(cdet_ref, cuu_ref, cvv_ref, ctn_ref, f_ref, inside_ref, tmin_ref,
         i_out_ref[:] = best_i_ref[:]
 
 
+# ---------------------------------------------------------------------------
+# Cluster culling: the TPU-native answer to the reference's BVH
+# (triangle.h:171-213). A per-lane tree walk is gather-bound on TPU
+# (ops/bvh.py post-mortem); instead we keep the dense MXU sweep but make
+# whole (ray-block x triangle-cluster) tiles skippable: triangles are
+# Morton-sorted into clusters of TRI_BLOCK with precomputed AABBs, rays are
+# optionally sorted by (direction octant, origin cell) so blocks are
+# coherent, and the kernel slab-tests each cluster against the ray block
+# (with a best-t early-out) before paying the four coefficient matmuls.
+# ---------------------------------------------------------------------------
+
+
+def _spread3(x):
+    """Interleave the low 10 bits of u32 x with two zero bits each."""
+    x = x.astype(jnp.uint32)
+    x = (x | (x << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    x = (x | (x << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    x = (x | (x << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    x = (x | (x << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return x
+
+
+def tri_cull_build(m: V3, u: V3, v: V3, active, coeffs, block: int = TRI_BLOCK):
+    """Morton-order triangles into clusters of `block` with AABBs.
+
+    coeffs: the 4 (T, 16) tables from tri_coefficients (UNpermuted).
+    Returns (cds (4 x (Tpad,16) permuted+padded), bounds (8, NC) f32
+    [lo3, hi3, pad2], orig_of (Tpad,) i32 permuted-row -> original index).
+    Inactive triangles sort last, get zero coefficients (never valid) and
+    inverted AABB contributions (never gate a cluster in).
+    """
+    t_count = m.x.shape[0]
+    act = active.astype(bool)
+    cen = V3(m.x + (u.x + v.x) / 3.0, m.y + (u.y + v.y) / 3.0,
+             m.z + (u.z + v.z) / 3.0)
+    big = jnp.float32(INF)
+
+    def qaxis(c):
+        c_act = jnp.where(act, c, big)
+        lo = jnp.min(c_act)
+        c_act2 = jnp.where(act, c, -big)
+        hi = jnp.max(c_act2)
+        tq = jnp.clip((c - lo) / jnp.maximum(hi - lo, 1e-30), 0.0, 0.999999)
+        return (tq * 1024.0).astype(jnp.uint32)
+
+    key = (
+        (_spread3(qaxis(cen.x)) << jnp.uint32(2))
+        | (_spread3(qaxis(cen.y)) << jnp.uint32(1))
+        | _spread3(qaxis(cen.z))
+    )
+    key = jnp.where(act, key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key).astype(jnp.int32)  # (T,)
+
+    rem = (-t_count) % block
+    orig_of = jnp.concatenate([perm, jnp.zeros((rem,), jnp.int32)]) if rem else perm
+
+    cds = []
+    for c in coeffs:
+        cp = jnp.take(c, perm, axis=0)
+        cds.append(_pad_to(cp, block, 0, 0.0))
+
+    # per-tri AABB over verts a=m, b=m+u, c=m+v; inactive -> inverted
+    def tri_lo_hi(a, b, cc_):
+        return jnp.minimum(a, jnp.minimum(b, cc_)), jnp.maximum(a, jnp.maximum(b, cc_))
+
+    los, his = [], []
+    for comp in "xyz":
+        a = getattr(m, comp)
+        b = a + getattr(u, comp)
+        c3 = a + getattr(v, comp)
+        lo_c, hi_c = tri_lo_hi(a, b, c3)
+        lo_c = jnp.where(act, lo_c, big)
+        hi_c = jnp.where(act, hi_c, -big)
+        lo_p = jnp.take(lo_c, perm)
+        hi_p = jnp.take(hi_c, perm)
+        if rem:
+            lo_p = jnp.concatenate([lo_p, jnp.full((rem,), big)])
+            hi_p = jnp.concatenate([hi_p, jnp.full((rem,), -big)])
+        nc = lo_p.shape[0] // block
+        los.append(jnp.min(lo_p.reshape(nc, block), axis=1))
+        his.append(jnp.max(hi_p.reshape(nc, block), axis=1))
+    nc = los[0].shape[0]
+    zero = jnp.zeros((nc,), jnp.float32)
+    bounds = jnp.stack(los + his + [zero, zero], axis=0)  # (8, NC)
+
+    # per-octant front-to-back cluster visit order (ascending signed
+    # centroid projection): lets the best-t early-out prune far clusters
+    # the way the reference BVH's ordered traversal does
+    # (scene_object.h:224-231 node_order & dirMask)
+    cen_c = [(los[a] + his[a]) * 0.5 for a in range(3)]
+    # empty/padded clusters (lo=+INF, hi=-INF) -> centroid NaN; sort last
+    orders = []
+    for o in range(8):
+        sx = -1.0 if (o & 4) else 1.0
+        sy = -1.0 if (o & 2) else 1.0
+        sz = -1.0 if (o & 1) else 1.0
+        keyf = sx * cen_c[0] + sy * cen_c[1] + sz * cen_c[2]
+        keyf = jnp.where(jnp.isfinite(keyf), keyf, jnp.float32(INF))
+        orders.append(jnp.argsort(keyf).astype(jnp.int32))
+    cl_ord = jnp.stack(orders, axis=0)  # (8, NC)
+    return tuple(cds), bounds, orig_of, cl_ord
+
+
+def _culled_kernel(oct_ref, ord_ref, bnd_ref, cdet_ref, cuu_ref, cvv_ref,
+                   ctn_ref, f_ref, inside_ref, seed_ref, tmin_ref,
+                   t_out_ref, i_out_ref, best_t_ref, best_i_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t_ref[:] = seed_ref[:]  # prune clusters behind known hits
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    f = f_ref[:]  # (16, NB)
+    tmin = tmin_ref[0]
+    # visit clusters front-to-back for this block's ray octant (the
+    # reference BVH's ordered-traversal trick, scene_object.h:224-231)
+    c = ord_ref[oct_ref[i], j]
+
+    # cluster slab test (aabb.h:45-76 semantics, strict tmax > tmin) with a
+    # best-t early-out: a cluster farther than every lane's current winner
+    # can't change the result. Bounds live in SMEM (6 scalars per cluster).
+    # NaN lanes (ray on a slab plane with zero direction component) compare
+    # False and never gate a cluster in.
+    tnear = None
+    tfar = None
+    for a in range(3):
+        ro_a = f[1 + a : 2 + a, :]
+        ird_a = 1.0 / f[4 + a : 5 + a, :]
+        t0a = (bnd_ref[a, c] - ro_a) * ird_a
+        t1a = (bnd_ref[3 + a, c] - ro_a) * ird_a
+        lo_a = jnp.minimum(t0a, t1a)
+        hi_a = jnp.maximum(t0a, t1a)
+        tnear = lo_a if tnear is None else jnp.maximum(tnear, lo_a)
+        tfar = hi_a if tfar is None else jnp.minimum(tfar, hi_a)
+    hit_c = (tfar > jnp.maximum(tnear, tmin)) & (tnear < best_t_ref[:])
+
+    @pl.when(jnp.any(hit_c))
+    def _():
+        hi = _PRECISION
+        det = jnp.dot(cdet_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+        uu = jnp.dot(cuu_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+        vv = jnp.dot(cvv_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+        tn = jnp.dot(ctn_ref[:], f, preferred_element_type=jnp.float32, precision=hi)
+
+        inside = inside_ref[:]
+        sign = jnp.where((inside > 0.0) & (det < 0.0), -1.0, 1.0)
+        sdet = det * sign
+        suu = uu * sign
+        svv = vv * sign
+        t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+        valid = (
+            (sdet >= TRI_EPS)
+            & (suu >= 0.0) & (suu <= sdet)
+            & (svv >= 0.0) & (suu + svv <= sdet)
+            & (t >= tmin)
+        )
+        cand = jnp.where(valid, t, INF)
+        local_min = jnp.min(cand, axis=0, keepdims=True)
+        local_arg = jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :] + c * cand.shape[0]
+
+        better = local_min < best_t_ref[:]
+        best_t_ref[:] = jnp.where(better, local_min, best_t_ref[:])
+        best_i_ref[:] = jnp.where(better, local_arg, best_i_ref[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        t_out_ref[:] = best_t_ref[:]
+        i_out_ref[:] = best_i_ref[:]
+
+
+def _ray_sort_key(ro: V3, rd: V3, bounds):
+    """(N,) u32 coherence key: direction octant (3 bits) then origin cell
+    (Morton, 5 bits/axis over the scene bbox)."""
+    lo = jnp.min(bounds[0:3, :], axis=1)
+    hi = jnp.max(bounds[3:6, :], axis=1)
+
+    def q(c, a):
+        t = jnp.clip((c - lo[a]) / jnp.maximum(hi[a] - lo[a], 1e-30), 0.0, 0.999999)
+        return (t * 32.0).astype(jnp.uint32)
+
+    oct_ = (
+        ((rd.x < 0).astype(jnp.uint32) << jnp.uint32(2))
+        | ((rd.y < 0).astype(jnp.uint32) << jnp.uint32(1))
+        | (rd.z < 0).astype(jnp.uint32)
+    )
+    morton = (
+        (_spread3(q(ro.x, 0)) << jnp.uint32(2))
+        | (_spread3(q(ro.y, 1)) << jnp.uint32(1))
+        | _spread3(q(ro.z, 2))
+    )
+    return (oct_ << jnp.uint32(15)) | (morton & jnp.uint32(0x7FFF))
+
+
+@partial(jax.jit, static_argnames=("interpret", "sort_rays"))
+def flash_tri_hit_culled(cull, ro: V3, rd: V3, inside, tmin, t_seed=None, *,
+                         sort_rays: bool = True, interpret: bool = False):
+    """Closest triangle hit with cluster culling (and optional ray sorting).
+
+    cull: (cds, bounds, orig_of, cl_ord) from tri_cull_build. Same results
+    as flash_tri_hit up to ties/NaN-graze corner cases; returns (t, idx)
+    with idx in ORIGINAL triangle numbering.
+
+    The kernel visits clusters in per-octant front-to-back order (scalar-
+    prefetched index map) so the best-t early-out prunes far clusters like
+    the reference's ordered BVH traversal.
+
+    `t_seed` (N,) optionally seeds the best-t accumulator with the nearest
+    hit already known from OTHER primitive types: clusters entirely behind
+    an existing surface hit are pruned. Lanes where no triangle beats the
+    seed return t == t_seed with an arbitrary index — callers must combine
+    with a tie rule that prefers the seeding type (intersect.scene_hit's
+    sphere-then-rect-then-tri order does).
+    """
+    cds, bounds, orig_of, cl_ord = cull
+    n = ro.x.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inside_f = (inside > 0).astype(jnp.float32)
+    seed = jnp.full((n,), INF) if t_seed is None else t_seed
+    if sort_rays:
+        key = _ray_sort_key(ro, rd, bounds)
+        (skey, rox, roy, roz, rdx, rdy, rdz, insf, sseed, back) = jax.lax.sort(
+            (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota),
+            num_keys=1,
+        )
+    else:
+        skey = _ray_sort_key(ro, rd, bounds)
+        rox, roy, roz, rdx, rdy, rdz, insf, sseed, back = (
+            ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota
+        )
+
+    f = _pad_to(ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz)), RAY_BLOCK, 1, 0.0)
+    insp = _pad_to(insf[None, :], RAY_BLOCK, 1, 0.0)
+    seedp = _pad_to(sseed[None, :], RAY_BLOCK, 1, INF)
+    n_pad = f.shape[1]
+    t_pad = cds[0].shape[0]
+    grid = (n_pad // RAY_BLOCK, t_pad // TRI_BLOCK)
+    # per-ray-block octant (of its first ray) selects the cluster order row;
+    # len == n_pad // RAY_BLOCK since n_pad = ceil(n / RAY_BLOCK) * RAY_BLOCK
+    oct_blk = (skey[::RAY_BLOCK] >> jnp.uint32(15)).astype(jnp.int32)
+
+    c_spec = pl.BlockSpec(
+        (TRI_BLOCK, NUM_FEATURES),
+        lambda i, j, oct_r, ord_r: (ord_r[oct_r[i], j], 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (8, NC), scalars
+            c_spec, c_spec, c_spec, c_spec,
+            pl.BlockSpec((NUM_FEATURES, RAY_BLOCK),
+                         lambda i, j, o, _: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j, o, _: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j, o, _: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j, o, _: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j, o, _: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+    )
+    t_out, i_out = pl.pallas_call(
+        _culled_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(oct_blk, cl_ord, bounds, cds[0], cds[1], cds[2], cds[3], f, insp, seedp,
+      jnp.full((1,), tmin, jnp.float32))
+    t_s = t_out[0, :n]
+    idx_s = jnp.take(orig_of, i_out[0, :n])  # permuted -> original numbering
+    if sort_rays:
+        _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
+        return t_fin, idx_fin
+    return t_s, idx_s
+
+
 def _pad_to(x, mult, axis, value):
     size = x.shape[axis]
     rem = (-size) % mult

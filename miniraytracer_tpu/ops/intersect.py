@@ -482,6 +482,7 @@ def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
 
 FLASH_MIN_TRIS = 64  # below this the XLA sweep beats kernel launch overhead
 FLASH_MIN_SPHERES = 64
+FLASH_CULL_MIN_TRIS = 1024  # below this one cluster covers the scene anyway
 
 
 def make_accel(scene: T.SceneData, differentiable: bool = False):
@@ -503,7 +504,17 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
         m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
         u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
         v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
-        accel["tri" + suffix] = flash.tri_coefficients(m, u, v, scene.tri_active)
+        coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+        if differentiable or scene.n_tris < FLASH_CULL_MIN_TRIS:
+            accel["tri" + suffix] = coeffs
+        else:
+            # forward path with enough triangles: Morton-clustered sweep
+            # with per-(ray-block, cluster) AABB gating + ray sorting — the
+            # TPU equivalent of the reference BVH's O(log n) (triangle.h:
+            # 171-213, scene.cpp:109-113)
+            accel["tri_cull"] = flash.tri_cull_build(
+                m, u, v, scene.tri_active, coeffs
+            )
     if scene.n_spheres >= FLASH_MIN_SPHERES:
         accel["sph" + suffix] = flash.sphere_coefficients(scene)
     # fused Pallas Perlin-turbulence (forward-only: the AD path keeps the
@@ -512,9 +523,9 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
         from miniraytracer_tpu.ops import noise
 
         if noise.HAVE_PALLAS:
-            accel["perlin"] = (
-                noise.perm6_table(scene.perlin_px, scene.perlin_py, scene.perlin_pz),
-                jnp.asarray(scene.perlin_vec.T),
+            accel["perlin"] = noise.noise_tables(
+                scene.perlin_px, scene.perlin_py, scene.perlin_pz,
+                scene.perlin_vec,
             )
     return accel or None
 
@@ -550,12 +561,20 @@ def scene_hit(
     t_r, i_r = _chunked_min(
         lambda s, c: rect_ts(scene, rays, s, c, tmin, tmax0), scene.n_rects, n
     )
-    if "tri" in accel or "tri_d" in accel:
+    if "tri" in accel or "tri_d" in accel or "tri_cull" in accel:
         from miniraytracer_tpu.ops import flash
 
         if "tri_d" in accel:
             t_t, i_t = flash.flash_tri_hit_d(
                 accel["tri_d"], rays.ro, rays.rd, rays.inside, tmin
+            )
+        elif "tri_cull" in accel:
+            # seed with the sphere/rect winners: clusters behind an existing
+            # hit are pruned; the tie rule below prefers sphere/rect, so a
+            # returned t == seed never misattributes the surface
+            t_t, i_t = flash.flash_tri_hit_culled(
+                accel["tri_cull"], rays.ro, rays.rd, rays.inside, tmin,
+                jnp.minimum(t_s, t_r),
             )
         else:
             t_t, i_t = flash.flash_tri_hit(

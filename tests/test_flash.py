@@ -200,3 +200,114 @@ def test_scene_hit_with_accel_dict_matches_plain():
     np.testing.assert_allclose(
         np.asarray(rec1.t)[both], np.asarray(rec0.t)[both], rtol=5e-4, atol=2e-2
     )
+
+
+def test_flash_tri_culled_matches_uncut():
+    """Cluster-culled sweep == plain flash sweep (hit set, t, winner), with
+    and without ray sorting; winner indices come back in ORIGINAL
+    numbering."""
+    scene = triangles(1.0)
+    rng = np.random.default_rng(7)
+    n = 2048
+    ro = V3(
+        jnp.asarray(rng.uniform(50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-600, 500, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+    t_ref, i_ref = flash.flash_tri_hit(coeffs, ro, rd, inside, ix.TMIN,
+                                       interpret=True)
+    cull = flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
+    for sort_rays in (False, True):
+        t_c, i_c = flash.flash_tri_hit_culled(
+            cull, ro, rd, inside, ix.TMIN, sort_rays=sort_rays, interpret=True
+        )
+        t_ref_np, t_c_np = np.asarray(t_ref), np.asarray(t_c)
+        hit_ref, hit_c = t_ref_np < 1e38, t_c_np < 1e38
+        assert (hit_ref == hit_c).mean() > 0.995, sort_rays
+        both = hit_ref & hit_c
+        np.testing.assert_allclose(t_c_np[both], t_ref_np[both],
+                                   rtol=5e-4, atol=2e-2)
+        assert (np.asarray(i_ref)[both] == np.asarray(i_c)[both]).mean() > 0.995
+
+
+def test_tri_cull_build_covers_all_triangles():
+    """Every active triangle lands in exactly one cluster, inside its
+    cluster's AABB."""
+    scene = triangles(1.0)
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+    cds, bounds, orig_of, cl_ord = flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
+    # each octant's visit order is a permutation of the clusters
+    co = np.asarray(cl_ord)
+    for o in range(8):
+        assert sorted(co[o].tolist()) == list(range(co.shape[1]))
+    orig = np.asarray(orig_of)
+    t_count = scene.n_tris
+    act = np.asarray(scene.tri_active).astype(bool)
+    # permutation covers all rows exactly once (pad rows excluded)
+    assert sorted(orig[: t_count].tolist()) == list(range(t_count))
+    b = np.asarray(bounds)
+    nc = b.shape[1]
+    mx, ux, vx = (np.asarray(scene.tri_m), np.asarray(scene.tri_u),
+                  np.asarray(scene.tri_v))
+    for c in range(nc):
+        rows = orig[c * flash.TRI_BLOCK : (c + 1) * flash.TRI_BLOCK]
+        rows = [r for k, r in enumerate(rows)
+                if c * flash.TRI_BLOCK + k < t_count and act[r]]
+        if not rows:
+            continue
+        a = mx[rows]
+        verts = np.concatenate([a, a + ux[rows], a + vx[rows]], axis=0)
+        assert (verts.min(axis=0) >= b[0:3, c] - 1e-4).all()
+        assert (verts.max(axis=0) <= b[3:6, c] + 1e-4).all()
+
+
+def test_scene_hit_with_culled_accel_matches_plain():
+    """scene_hit with the tri_cull accel (seeded best-t, ray sorting) must
+    agree with the plain XLA path, including surface attribution on lanes
+    where the seed wins (interpret)."""
+    scene = triangles(1.0)
+    rng = np.random.default_rng(11)
+    n = 512
+    ro = V3(
+        jnp.asarray(rng.uniform(50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-700, 500, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+    rays = ix.Rays(ro=ro, rd=rd, time=jnp.zeros(n), inside=inside)
+    rec0 = ix.scene_hit(scene, rays)
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    from functools import partial
+    import miniraytracer_tpu.ops.flash as fl
+
+    coeffs = fl.tri_coefficients(m, u, v, scene.tri_active)
+    accel = {"tri_cull": fl.tri_cull_build(m, u, v, scene.tri_active, coeffs)}
+    orig = fl.flash_tri_hit_culled
+    fl.flash_tri_hit_culled = partial(orig, interpret=True)
+    try:
+        rec1 = ix.scene_hit(scene, rays, accel=accel)
+    finally:
+        fl.flash_tri_hit_culled = orig
+    agree = np.asarray(rec0.hit) == np.asarray(rec1.hit)
+    assert agree.mean() > 0.99
+    both = np.asarray(rec0.hit) & np.asarray(rec1.hit)
+    np.testing.assert_allclose(
+        np.asarray(rec1.t)[both], np.asarray(rec0.t)[both], rtol=5e-4, atol=2e-2
+    )
+    # material ids must match (correct surface attribution incl. seed ties)
+    assert (np.asarray(rec1.mat)[both] == np.asarray(rec0.mat)[both]).mean() > 0.99
