@@ -726,15 +726,27 @@ def pick_renderer(scene: T.SceneData) -> str:
       triangles (11.3k tris): wavefront 1.5 -> workqueue 4.5 Mrays/s
       book2 (4.8k tris + 1k spheres): 0.8 -> 3.0
       cornell (19 prims): 123.5 -> 27.1  (wavefront wins)
+    Small const/checker scenes take the fused Pallas bounce kernel
+    (ops/bounce.py) — the whole wavefront body in one kernel.
     """
+    from miniraytracer_tpu.ops import bounce
+
+    if bounce.can_fuse(scene):
+        return "fused"
     heavy = scene.n_tris + scene.n_spheres
     return "workqueue" if heavy >= 2000 else "wavefront"
 
 
 def render_auto(scene, width, height, spp, max_bounces=32, max_lum=1000.0):
     """Render with the heuristically-picked forward renderer."""
-    if pick_renderer(scene) == "workqueue":
+    which = pick_renderer(scene)
+    if which == "workqueue":
         return render_workqueue(scene, width, height, spp, max_bounces, max_lum)
+    if which == "fused":
+        from miniraytracer_tpu.ops import bounce
+
+        return bounce.render_wavefront_fused(
+            scene, width, height, spp, max_bounces, max_lum)
     return render_wavefront(scene, width, height, spp, max_bounces, max_lum)
 
 

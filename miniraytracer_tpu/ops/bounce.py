@@ -1,0 +1,984 @@
+"""Fused wavefront bounce: the whole trace() body as ONE Pallas kernel.
+
+The XLA wavefront bounce at 250k lanes is ~40 small HBM-bound fusions
+(~1.1 ms/iteration on Cornell, of which intersection is only ~77 us —
+device-trace profile, round 2). Every select/reduce re-reads and re-writes
+(N,)-sized state from HBM. This kernel is the reference's `trace()` body
+(main.cpp:66-118) plus the draw2 merge and lane regeneration
+(main.cpp:214-231, work_queue semantics) fused into a single program:
+the whole per-lane sample loop (bounce + merge + regenerate until the
+block's lanes exhaust their samples) runs INSIDE the kernel, so per-lane
+state makes one HBM round trip per RENDER — not per bounce — and every
+intermediate lives in VMEM/registers. Lanes are tiled (8, 128) (vreg
+native; a (1, N) row layout measured 17x slower at 1/8 sublane occupancy).
+
+Applicability (can_fuse): scenes whose primitive/material/texture tables
+fit in SMEM as scalars with STATIC python loops — all prim counts <= 64,
+const/checker textures only (no image/perlin — those scenes keep the XLA
+path or their own kernels). This covers the Cornell/smoke/spheres class
+where shading bookkeeping dominates. Estimator semantics are IDENTICAL to
+render_wavefront_pixels (same counter-keyed RNG slots, same masked-branch
+formulas, same merge/NaN/clamp policy); floats may differ by reassociation
+only.
+
+State layout (lane l lives at tile coordinate (l // 128, l % 128)):
+  fstate (17, N/128, 128) f32: accum3, ro3, rd3, time, beta3, rad3, alive
+  istate (3, N/128, 128)  i32: count, inside, depth
+  keys   (N/128, 128)     u32: per-(pixel,sample) base key
+Scene tables are packed into flat f32 SMEM vectors (pack_scene).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniraytracer_tpu.ops.vecmath import V3
+from miniraytracer_tpu.scene import types as T
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+BLOCK_ROWS = 8  # (BLOCK_ROWS, 128) lane tiles per grid step — vreg-native
+LANE_BLOCK = BLOCK_ROWS * 128
+COND_EVERY = 8  # bounces per while-cond check (cond = reduction + sync)
+INF = 3.0e38
+TMIN = 0.001
+TRI_EPS = 1e-5
+PI = 3.14159265358979323846
+
+# fstate rows
+R_ACC, R_RO, R_RD, R_TIME, R_BETA, R_RAD, R_ALIVE = 0, 3, 6, 9, 10, 13, 16
+NF = 17
+# istate rows
+I_COUNT, I_INSIDE, I_DEPTH = 0, 1, 2
+NI = 3
+
+# RNG slots (materials.py) / camera fold tag (camera.py)
+SLOT_VOL, SLOT_MIX, SLOT_LPICK, SLOT_LA, SLOT_LB = 0, 8, 9, 10, 11
+SLOT_MA, SLOT_MB, SLOT_FUZZ, SLOT_FRESNEL = 12, 13, 14, 17
+CAM_FOLD = 0x0C0FFEE
+
+MAX_PRIMS = 64  # per type; static unrolled scalar loops
+MAX_MATS = 24
+MAX_TEXS = 24
+MAX_VOLS = 4
+
+_M1, _M2, _M3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
+
+
+def can_fuse(scene: T.SceneData) -> bool:
+    """Fused-bounce eligibility (phase 1: Cornell/smoke/spheres class)."""
+    if not HAVE_PALLAS or jax.default_backend() != "tpu":
+        return False
+    return (
+        scene.n_spheres <= MAX_PRIMS
+        and scene.n_rects <= MAX_PRIMS
+        and scene.n_tris <= MAX_PRIMS
+        and scene.n_volumes <= MAX_VOLS
+        and scene.mat_type.shape[0] <= MAX_MATS
+        and scene.tex_type.shape[0] <= MAX_TEXS
+        and not scene.has_perlin
+        and not scene.has_image
+        and len(scene.lights) <= 4
+    )
+
+
+def pack_scene(scene: T.SceneData):
+    """Scene tables -> (meta static dict, list of SMEM f32 operand arrays).
+
+    Each table is a flat f32 vector; the kernel reads scalars at static
+    offsets (python-unrolled loops). Integer codes ride as f32 (all small).
+    """
+    meta = dict(
+        S=scene.n_spheres, R=scene.n_rects, Tc=scene.n_tris,
+        V=scene.n_volumes, M=int(scene.mat_type.shape[0]),
+        X=int(scene.tex_type.shape[0]),
+        lights=tuple(scene.lights), use_sky=bool(scene.use_sky),
+        exact_cosine=bool(scene.exact_cosine),
+    )
+    sph = jnp.concatenate([
+        scene.sph_c0.reshape(-1), scene.sph_c1.reshape(-1),
+        scene.sph_t0, scene.sph_t1, scene.sph_moving, scene.sph_radius,
+        scene.sph_mat.astype(jnp.float32),
+        scene.sph_active.astype(jnp.float32),
+    ]) if meta["S"] else jnp.zeros((1,), jnp.float32)
+    rect = jnp.concatenate([
+        scene.rect_ei.reshape(-1), scene.rect_ej.reshape(-1),
+        scene.rect_ek.reshape(-1), scene.rect_k,
+        scene.rect_i0, scene.rect_i1, scene.rect_j0, scene.rect_j1,
+        scene.rect_sign, scene.rect_mat.astype(jnp.float32),
+        scene.rect_active.astype(jnp.float32),
+    ]) if meta["R"] else jnp.zeros((1,), jnp.float32)
+    tri = jnp.concatenate([
+        scene.tri_m.reshape(-1), scene.tri_u.reshape(-1),
+        scene.tri_v.reshape(-1), scene.tri_mn.reshape(-1),
+        scene.tri_un.reshape(-1), scene.tri_vn.reshape(-1),
+        scene.tri_mat.astype(jnp.float32),
+        scene.tri_active.astype(jnp.float32),
+    ]) if meta["Tc"] else jnp.zeros((1,), jnp.float32)
+    vol = jnp.concatenate([
+        scene.vol_bparams.reshape(-1),
+        scene.vol_btype.astype(jnp.float32), scene.vol_density,
+        scene.vol_mat.astype(jnp.float32),
+        scene.vol_active.astype(jnp.float32),
+    ]) if meta["V"] else jnp.zeros((1,), jnp.float32)
+    mat = jnp.concatenate([
+        scene.mat_type.astype(jnp.float32), scene.mat_param,
+        scene.mat_tex.astype(jnp.float32),
+    ])
+    tex = jnp.concatenate([
+        scene.tex_type.astype(jnp.float32), scene.tex_c0.reshape(-1),
+        scene.tex_c1.reshape(-1), scene.tex_scale,
+    ])
+    cam = scene.camera
+    camv = jnp.concatenate([
+        jnp.asarray(cam.origin, jnp.float32),
+        jnp.asarray(cam.llcorner, jnp.float32),
+        jnp.asarray(cam.horz, jnp.float32),
+        jnp.asarray(cam.vert, jnp.float32),
+        jnp.asarray(cam.u, jnp.float32),
+        jnp.asarray(cam.v, jnp.float32),
+        jnp.asarray(
+            [cam.lens_radius, cam.time0, cam.time1], jnp.float32
+        ).reshape(-1),
+    ])
+    return meta, [sph, rect, tri, vol, mat, tex, camv]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers: everything operates on (1, B) rows
+# ---------------------------------------------------------------------------
+
+
+def _u32(x):
+    return jnp.uint32(x)
+
+
+def _hash(x):
+    x = x * _u32(747796405) + _u32(2891336453)
+    word = ((x >> ((x >> _u32(28)) + _u32(4))) ^ x) * _u32(277803737)
+    return (word >> _u32(22)) ^ word
+
+
+def _fold(key, data):
+    return _hash(key * _u32(_M1) + data.astype(jnp.uint32) * _u32(_M2) + _u32(_M3))
+
+
+def _bits(key, slot: int):
+    return _hash(key + _u32(slot) * _u32(_M3))
+
+
+def _uniform(key, slot: int):
+    b = _bits(key, slot)
+    f = (b & _u32(0x007FFFFF)) | _u32(0x3F800000)
+    return jax.lax.bitcast_convert_type(f, jnp.float32) - 1.0
+
+
+def _ray_key(pix, samp):
+    return _hash(_hash(pix * _u32(_M1) + _u32(0x1234567)) + samp * _u32(_M2))
+
+
+def _dot(a: V3, b: V3):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def _normalize(a: V3) -> V3:
+    n2 = _dot(a, a)
+    ok = n2 > 1e-20
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
+    return a * inv
+
+
+def _cross(a: V3, b: V3) -> V3:
+    return V3(a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+              a.x * b.y - a.y * b.x)
+
+
+def _vwhere(m, a: V3, b: V3) -> V3:
+    return V3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
+              jnp.where(m, a.z, b.z))
+
+
+def _onb_from_w(n: V3):
+    big_x = jnp.abs(n.x) > 0.9
+    a = V3(jnp.where(big_x, 0.0, 1.0), jnp.where(big_x, 1.0, 0.0),
+           jnp.zeros_like(n.x))
+    v = _normalize(_cross(n, a))
+    u = _cross(n, v)
+    return u, v, n
+
+
+def _sample_on_sphere(r1, r2) -> V3:
+    x = r1 * 2.0 - 1.0
+    phi = r2 * 2.0 * PI
+    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    return V3(x, jnp.cos(phi) * s, jnp.sin(phi) * s)
+
+
+def _sample_cosine(r1, r2, exact: bool) -> V3:
+    z = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    phi = 2.0 * PI * r1
+    sq = (1.0 if exact else 2.0) * jnp.sqrt(r2)
+    return V3(jnp.cos(phi) * sq, jnp.sin(phi) * sq, z)
+
+
+def _sample_in_ball(r1, r2, r3) -> V3:
+    d = _sample_on_sphere(r1, r2)
+    # cbrt via exp/log (r3 in [0,1)); guard log(0)
+    r3s = jnp.maximum(r3, 1e-30)
+    return d * jnp.exp(jnp.log(r3s) * (1.0 / 3.0))
+
+
+def _schlick(cosine, ref_index):
+    r0 = (1.0 - ref_index) / (1.0 + ref_index)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(meta, width, height, sq, max_bounces):
+    """Build the fused-bounce kernel specialized to the scene's meta."""
+    S, R, Tc, V = meta["S"], meta["R"], meta["Tc"], meta["V"]
+    M, X = meta["M"], meta["X"]
+    lights = meta["lights"]
+    use_sky = meta["use_sky"]
+    exact_cos = meta["exact_cosine"]
+    nL = max(len(lights), 1)
+
+    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+               misc_ref, f_ref, i_ref, k_ref, pix_ref,
+               fo_ref, io_ref, ko_ref, ray_ref):
+        # Blocks are (BR, 128) lane tiles — native VPU vreg shape, full
+        # sublane occupancy (a (1, B) row layout measured 17x slower).
+        # The WHOLE per-lane render loop (bounce + merge + regen until the
+        # block's lanes exhaust their samples) runs inside this kernel with
+        # state in registers/VMEM: one HBM round trip per *render*, not per
+        # bounce.
+        max_lum = misc_ref[0]
+        sample_lo = misc_ref[1].astype(jnp.int32)
+        n_samples = misc_ref[2].astype(jnp.int32)
+        pix = pix_ref[:]  # (BR, 128) u32
+
+        carry0 = (
+            tuple(f_ref[r] for r in range(NF))
+            + tuple(i_ref[r] for r in range(NI))
+            + (k_ref[:], jnp.zeros_like(f_ref[0]))
+        )
+
+        def cond(c):
+            return jnp.any(c[R_ALIVE] > 0.0)
+
+        def step(c):
+            accum = V3(c[R_ACC], c[R_ACC + 1], c[R_ACC + 2])
+            ro = V3(c[R_RO], c[R_RO + 1], c[R_RO + 2])
+            rd = V3(c[R_RD], c[R_RD + 1], c[R_RD + 2])
+            time = c[R_TIME]
+            beta = V3(c[R_BETA], c[R_BETA + 1], c[R_BETA + 2])
+            radiance = V3(c[R_RAD], c[R_RAD + 1], c[R_RAD + 2])
+            alive = c[R_ALIVE] > 0.0
+            count = c[NF + I_COUNT]
+            inside = c[NF + I_INSIDE]
+            depth = c[NF + I_DEPTH]
+            keys = c[NF + NI]
+            rays_ct = c[NF + NI + 1]
+            rays_ct = rays_ct + jnp.where(alive, 1.0, 0.0)
+
+            keys_b = _fold(keys, depth)
+            depth_ok = depth < max_bounces
+
+            # ---------------- scene_hit (inline, running-winner record) --------
+            best_t = jnp.full_like(time, INF)
+            # winner record fields, updated whenever a candidate is better
+            w_n = V3(jnp.ones_like(time), jnp.zeros_like(time), jnp.zeros_like(time))
+            w_mat = jnp.zeros_like(count)
+
+            # --- spheres (sphere.cpp:13-46) --- tie rule: sphere first, so '<'
+            for si in range(S):
+                c0 = V3(sph_ref[3 * si], sph_ref[3 * si + 1], sph_ref[3 * si + 2])
+                o1 = 3 * S
+                c1 = V3(sph_ref[o1 + 3 * si], sph_ref[o1 + 3 * si + 1],
+                        sph_ref[o1 + 3 * si + 2])
+                o = 6 * S
+                t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
+                mov, rad = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
+                matid, act = sph_ref[o + 4 * S + si], sph_ref[o + 5 * S + si]
+                denom = jnp.where(mov > 0, t1s - t0s, 1.0)
+                fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
+                cen = V3(c0.x + fmv * (c1.x - c0.x), c0.y + fmv * (c1.y - c0.y),
+                         c0.z + fmv * (c1.z - c0.z))
+                oc = ro - cen
+                b = _dot(oc, rd)
+                c = _dot(oc, oc) - rad * rad
+                disc = b * b - c
+                sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+                t_front = -b - sqd
+                t_back = -b + sqd
+                ok = (disc > 0) & (act > 0)
+                front_ok = ok & (t_front > TMIN) & (t_front < best_t)
+                back_ok = ok & (inside > 0) & (t_back > TMIN) & (t_back < best_t)
+                tc = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
+                better = front_ok | back_ok
+                p_hit = ro + rd * tc
+                safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
+                n_c = _normalize((p_hit - cen) * (1.0 / safe_rad))
+                best_t = jnp.where(better, tc, best_t)
+                w_n = _vwhere(better, n_c, w_n)
+                w_mat = jnp.where(better, jnp.int32(matid), w_mat)
+
+            # --- rects (rect.cpp, one-sided) ---
+            for ri in range(R):
+                ei = V3(rect_ref[3 * ri], rect_ref[3 * ri + 1], rect_ref[3 * ri + 2])
+                o = 3 * R
+                ej = V3(rect_ref[o + 3 * ri], rect_ref[o + 3 * ri + 1],
+                        rect_ref[o + 3 * ri + 2])
+                o = 6 * R
+                ek = V3(rect_ref[o + 3 * ri], rect_ref[o + 3 * ri + 1],
+                        rect_ref[o + 3 * ri + 2])
+                o = 9 * R
+                kk = rect_ref[o + ri]
+                i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
+                j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
+                sgn = rect_ref[o + 5 * R + ri]
+                matid = rect_ref[o + 6 * R + ri]
+                act = rect_ref[o + 7 * R + ri]
+                dk = _dot(ek, rd)
+                facing = dk * sgn <= 0.0
+                dk_safe = jnp.where(jnp.abs(dk) > 1e-30, dk, 1e-30)
+                t = (kk - _dot(ek, ro)) / dk_safe
+                iiv = _dot(ei, ro) + t * _dot(ei, rd)
+                jjv = _dot(ej, ro) + t * _dot(ej, rd)
+                valid = (
+                    facing & (t >= TMIN) & (t < best_t) & (act > 0)
+                    & (iiv >= i0) & (iiv <= i1) & (jjv >= j0) & (jjv <= j1)
+                )
+                best_t = jnp.where(valid, t, best_t)
+                w_n = _vwhere(valid, V3(ek.x * sgn + 0.0 * time,
+                                        ek.y * sgn + 0.0 * time,
+                                        ek.z * sgn + 0.0 * time), w_n)
+                w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+
+            # --- triangles (triangle.cpp:221-264) ---
+            for ti in range(Tc):
+                mT = V3(tri_ref[3 * ti], tri_ref[3 * ti + 1], tri_ref[3 * ti + 2])
+                o = 3 * Tc
+                uT = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                        tri_ref[o + 3 * ti + 2])
+                o = 6 * Tc
+                vT = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                        tri_ref[o + 3 * ti + 2])
+                o = 9 * Tc
+                mn = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                        tri_ref[o + 3 * ti + 2])
+                o = 12 * Tc
+                un = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                        tri_ref[o + 3 * ti + 2])
+                o = 15 * Tc
+                vn = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                        tri_ref[o + 3 * ti + 2])
+                matid = tri_ref[18 * Tc + ti]
+                act = tri_ref[19 * Tc + ti]
+                pv = _cross(rd, vT)
+                det = _dot(uT, pv)
+                sgn = jnp.where((inside > 0) & (det < 0.0), -1.0, 1.0)
+                dets = det * sgn
+                tv = ro - mT
+                uu = _dot(tv, pv) * sgn
+                qv = _cross(tv, uT)
+                vv = _dot(rd, qv) * sgn
+                safe_det = jnp.where(dets > TRI_EPS, dets, 1.0)
+                t = _dot(vT, qv) / safe_det * sgn
+                valid = (
+                    (dets >= TRI_EPS) & (uu >= 0) & (uu <= dets)
+                    & (vv >= 0) & (uu + vv <= dets)
+                    & (t >= TMIN) & (t < best_t) & (act > 0)
+                )
+                inv = 1.0 / safe_det
+                uun = uu * inv
+                vvn = vv * inv
+                n_c = _normalize(
+                    mn * (1.0 - uun - vvn) + un * uun + vn * vvn
+                )
+                best_t = jnp.where(valid, t, best_t)
+                w_n = _vwhere(valid, n_c, w_n)
+                w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+
+            # --- volumes (volumes.cpp:5-36, one-sided quirks preserved) ---
+            t_surf = best_t
+            for vi in range(V):
+                bp = [vol_ref[12 * vi + k] for k in range(12)]
+                btype = vol_ref[12 * V + vi]
+                dens = vol_ref[13 * V + vi]
+                vmat = vol_ref[14 * V + vi]
+                vact = vol_ref[15 * V + vi]
+                # sphere boundary
+                cen = V3(bp[0] + 0.0 * time, bp[1] + 0.0 * time, bp[2] + 0.0 * time)
+                radv = bp[3]
+                oc = ro - cen
+                b = _dot(oc, rd)
+                c = _dot(oc, oc) - radv * radv
+                disc = b * b - c
+                sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+                s_ok = disc > 0
+                sph_t1 = jnp.where(s_ok, -b - sqd, INF)
+                sph_t2 = jnp.where(s_ok & (inside > 0), -b + sqd, INF)
+                # box boundary: 6 one-sided faces in local frame
+                bmin = (bp[0], bp[1], bp[2])
+                bmax = (bp[3], bp[4], bp[5])
+                sin_t, cos_t = bp[6], bp[7]
+                off = V3(bp[8] + 0.0 * time, bp[9] + 0.0 * time, bp[10] + 0.0 * time)
+                rol = ro - off
+                lo = V3(cos_t * rol.x - sin_t * rol.z, rol.y,
+                        cos_t * rol.z + sin_t * rol.x)
+                ld = V3(cos_t * rd.x - sin_t * rd.z, rd.y,
+                        cos_t * rd.z + sin_t * rd.x)
+                cands = [sph_t1, sph_t2]
+                axes = [
+                    (lo.x, ld.x, lo.y, ld.y, lo.z, ld.z,
+                     bmin[0], bmax[0], bmin[1], bmax[1], bmin[2], bmax[2]),
+                    (lo.y, ld.y, lo.x, ld.x, lo.z, ld.z,
+                     bmin[1], bmax[1], bmin[0], bmax[0], bmin[2], bmax[2]),
+                    (lo.z, ld.z, lo.x, ld.x, lo.y, ld.y,
+                     bmin[2], bmax[2], bmin[0], bmax[0], bmin[1], bmax[1]),
+                ]
+                box_cands = []
+                for (la, da, lb, db, lc, dc, a0, a1, b0, b1, c0b, c1b) in axes:
+                    invd = 1.0 / jnp.where(
+                        jnp.abs(da) > 1e-12, da, jnp.where(da >= 0, 1e-12, -1e-12)
+                    )
+                    for bound, face_ok in ((a0, da > 0), (a1, da < 0)):
+                        tf = (bound - la) * invd
+                        bb = lb + tf * db
+                        cc = lc + tf * dc
+                        okf = face_ok & (bb >= b0) & (bb <= b1) & (cc >= c0b) & (cc <= c1b)
+                        box_cands.append(jnp.where(okf, tf, INF))
+                is_sph_b = btype == float(T.VOLB_SPHERE)
+                all_cands = [
+                    jnp.where(is_sph_b, cands[0], box_cands[0]),
+                    jnp.where(is_sph_b, cands[1], box_cands[1]),
+                    jnp.where(is_sph_b, INF, box_cands[2]),
+                    jnp.where(is_sph_b, INF, box_cands[3]),
+                    jnp.where(is_sph_b, INF, box_cands[4]),
+                    jnp.where(is_sph_b, INF, box_cands[5]),
+                ]
+                rec1 = all_cands[0]
+                for ccd in all_cands[1:]:
+                    rec1 = jnp.minimum(rec1, ccd)
+                got1 = rec1 < INF
+                rec2 = jnp.full_like(rec1, INF)
+                for ccd in all_cands:
+                    rec2 = jnp.minimum(rec2, jnp.where(ccd > rec1 + 1e-4, ccd, INF))
+                got2 = rec2 < INF
+                okv = got1 & got2
+                NEG = jnp.float32(-3.0e38)
+                rec1c = jnp.maximum(jnp.where(got1, rec1, NEG), TMIN)
+                rec2c = jnp.minimum(jnp.where(got2, rec2, NEG), best_t)
+                valid = okv & (rec1c < rec2c) & (vact > 0)
+                inside_dist = rec2c - rec1c
+                uv = jnp.clip(_uniform(keys_b, SLOT_VOL + vi), 1e-38, 1.0)
+                hit_dist = -(1.0 / dens) * jnp.log(uv)
+                scatter = valid & (hit_dist < inside_dist)
+                tvol = rec1c + hit_dist
+                better = scatter & (tvol < best_t)
+                best_t = jnp.where(better, tvol, best_t)
+                w_n = _vwhere(better, V3(jnp.ones_like(tvol), jnp.zeros_like(tvol),
+                                         jnp.zeros_like(tvol)), w_n)
+                w_mat = jnp.where(better, jnp.int32(vmat), w_mat)
+
+            hit = best_t < INF
+            safe_t = jnp.where(hit, best_t, 1.0)
+            p = ro + rd * safe_t
+            # miss-lane record sanitation (scene_hit does the same)
+            w_n = _vwhere(hit, w_n, V3(jnp.ones_like(safe_t), jnp.zeros_like(safe_t),
+                                       jnp.zeros_like(safe_t)))
+
+            # ---------------- shade (materials.shade, exact slots) -------------
+            # material row lookup (static where-chain over M)
+            mtype = jnp.zeros_like(safe_t)
+            mparam = jnp.zeros_like(safe_t)
+            tex_id = jnp.zeros_like(safe_t)
+            for mi in range(M):
+                selm = w_mat == mi
+                mtype = jnp.where(selm, mat_ref[mi], mtype)
+                mparam = jnp.where(selm, mat_ref[M + mi], mparam)
+                tex_id = jnp.where(selm, mat_ref[2 * M + mi], tex_id)
+
+            # texture sample (const/checker)
+            c0 = V3(jnp.zeros_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
+            c1 = V3(jnp.zeros_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
+            ttype = jnp.zeros_like(safe_t)
+            tscale = jnp.zeros_like(safe_t)
+            for xi in range(X):
+                selx = tex_id == xi
+                ttype = jnp.where(selx, tex_ref[xi], ttype)
+                c0 = _vwhere(selx, V3(tex_ref[X + 3 * xi] + 0.0 * safe_t,
+                                      tex_ref[X + 3 * xi + 1] + 0.0 * safe_t,
+                                      tex_ref[X + 3 * xi + 2] + 0.0 * safe_t), c0)
+                c1 = _vwhere(selx, V3(tex_ref[4 * X + 3 * xi] + 0.0 * safe_t,
+                                      tex_ref[4 * X + 3 * xi + 1] + 0.0 * safe_t,
+                                      tex_ref[4 * X + 3 * xi + 2] + 0.0 * safe_t), c1)
+                tscale = jnp.where(selx, tex_ref[7 * X + xi], tscale)
+            sines = (jnp.sin(tscale * p.x) * jnp.sin(tscale * p.y)
+                     * jnp.sin(tscale * p.z))
+            albedo = _vwhere((ttype == float(T.TEX_CHECKER)) & (sines < 0), c1, c0)
+
+            nrm = w_n
+            is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)
+            emitted = _vwhere(is_light & (_dot(nrm, rd) < 0.0), albedo * mparam,
+                              V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t))
+
+            is_iso = mtype == float(T.MAT_ISOTROPIC)
+            u_ma = _uniform(keys_b, SLOT_MA)
+            u_mb = _uniform(keys_b, SLOT_MB)
+            uo, vo, wo = _onb_from_w(nrm)
+            loc = _sample_cosine(u_ma, u_mb, exact_cos)
+            cos_dir = uo * loc.x + vo * loc.y + wo * loc.z
+            iso_dir = _sample_on_sphere(u_ma, u_mb)
+            mat_gen = _vwhere(is_iso, iso_dir, cos_dir)
+
+            if lights:
+                u_mix = _uniform(keys_b, SLOT_MIX)
+                u_pick = _uniform(keys_b, SLOT_LPICK)
+                u_a = _uniform(keys_b, SLOT_LA)
+                u_b = _uniform(keys_b, SLOT_LB)
+                pick = jnp.clip((u_pick * nL).astype(jnp.int32), 0, nL - 1)
+                lgen = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
+                for li, (ltype, lidx) in enumerate(lights):
+                    if ltype == T.PRIM_SPHERE:
+                        si = lidx
+                        c0l = V3(sph_ref[3 * si] + 0.0 * safe_t,
+                                 sph_ref[3 * si + 1] + 0.0 * safe_t,
+                                 sph_ref[3 * si + 2] + 0.0 * safe_t)
+                        o1 = 3 * S
+                        c1l = V3(sph_ref[o1 + 3 * si] + 0.0 * safe_t,
+                                 sph_ref[o1 + 3 * si + 1] + 0.0 * safe_t,
+                                 sph_ref[o1 + 3 * si + 2] + 0.0 * safe_t)
+                        o = 6 * S
+                        t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
+                        mov, radl = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
+                        denom = jnp.where(mov > 0, t1s - t0s, 1.0)
+                        fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
+                        cenl = c0l + (c1l - c0l) * fmv
+                        to_c = cenl - p
+                        dist_sq = _dot(to_c, to_c)
+                        ul, vl, wl = _onb_from_w(_normalize(to_c))
+                        frac = jnp.clip(
+                            1.0 - radl * radl / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
+                        f_ok = frac > 1e-12
+                        sqf = jnp.where(f_ok, jnp.sqrt(jnp.where(f_ok, frac, 1.0)), 0.0)
+                        z = 1.0 + u_b * (sqf - 1.0)
+                        phi = 2.0 * PI * u_a
+                        z2 = z * z
+                        z_ok = z2 < 1.0 - 1e-12
+                        sl = jnp.where(z_ok, jnp.sqrt(jnp.where(z_ok, 1.0 - z2, 1.0)), 0.0)
+                        locl = V3(jnp.cos(phi) * sl, jnp.sin(phi) * sl, z)
+                        dgen = ul * locl.x + vl * locl.y + wl * locl.z
+                    else:
+                        ri = lidx
+                        ei = V3(rect_ref[3 * ri] + 0.0 * safe_t,
+                                rect_ref[3 * ri + 1] + 0.0 * safe_t,
+                                rect_ref[3 * ri + 2] + 0.0 * safe_t)
+                        o = 3 * R
+                        ej = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                                rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                                rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
+                        o = 6 * R
+                        ekl = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                                 rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                                 rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
+                        o = 9 * R
+                        kk = rect_ref[o + ri]
+                        i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
+                        j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
+                        iil = i0 + u_a * (i1 - i0)
+                        jjl = j0 + u_b * (j1 - j0)
+                        point = ei * iil + ej * jjl + ekl * kk
+                        dgen = point - p
+                    lgen = _vwhere(pick == li, dgen, lgen)
+                gen = _vwhere(u_mix < 0.5, lgen, mat_gen)
+                d = _normalize(gen)
+                # light pdf value: average over lights
+                lpv = 0.0 * safe_t
+                for (ltype, lidx) in lights:
+                    if ltype == T.PRIM_SPHERE:
+                        si = lidx
+                        c0l = V3(sph_ref[3 * si] + 0.0 * safe_t,
+                                 sph_ref[3 * si + 1] + 0.0 * safe_t,
+                                 sph_ref[3 * si + 2] + 0.0 * safe_t)
+                        o1 = 3 * S
+                        c1l = V3(sph_ref[o1 + 3 * si] + 0.0 * safe_t,
+                                 sph_ref[o1 + 3 * si + 1] + 0.0 * safe_t,
+                                 sph_ref[o1 + 3 * si + 2] + 0.0 * safe_t)
+                        o = 6 * S
+                        t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
+                        mov, radl = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
+                        denom = jnp.where(mov > 0, t1s - t0s, 1.0)
+                        fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
+                        cenl = c0l + (c1l - c0l) * fmv
+                        oc = p - cenl
+                        b = _dot(oc, d)
+                        c = _dot(oc, oc) - radl * radl
+                        disc = b * b - c
+                        sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+                        t_front = -b - sqd
+                        hitl = (disc > 0) & (t_front > TMIN)
+                        to_c = cenl - p
+                        dist_sq = _dot(to_c, to_c)
+                        cm_arg = jnp.clip(
+                            1.0 - radl * radl / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
+                        cm_ok = cm_arg > 1e-12
+                        cos_max = jnp.where(
+                            cm_ok, jnp.sqrt(jnp.where(cm_ok, cm_arg, 1.0)), 0.0)
+                        sa = 2.0 * PI * (1.0 - cos_max)
+                        lpv = lpv + jnp.where(
+                            hitl & (sa > 0), 1.0 / jnp.maximum(sa, 1e-12), 0.0)
+                    else:
+                        ri = lidx
+                        ei = V3(rect_ref[3 * ri] + 0.0 * safe_t,
+                                rect_ref[3 * ri + 1] + 0.0 * safe_t,
+                                rect_ref[3 * ri + 2] + 0.0 * safe_t)
+                        o = 3 * R
+                        ej = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                                rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                                rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
+                        o = 6 * R
+                        ekl = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                                 rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                                 rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
+                        o = 9 * R
+                        kk = rect_ref[o + ri]
+                        i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
+                        j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
+                        sgn = rect_ref[o + 5 * R + ri]
+                        dk = _dot(ekl, d)
+                        facing = dk * sgn <= 0.0
+                        dk_safe = jnp.where(jnp.abs(dk) > 1e-30, dk, 1e-30)
+                        t = (kk - _dot(ekl, p)) / dk_safe
+                        iiv = _dot(ei, p) + t * _dot(ei, d)
+                        jjv = _dot(ej, p) + t * _dot(ej, d)
+                        hitl = (facing & (t >= TMIN)
+                                & (iiv >= i0) & (iiv <= i1) & (jjv >= j0) & (jjv <= j1))
+                        ts = jnp.where(hitl, t, 1.0)
+                        area = (i1 - i0) * (j1 - j0)
+                        cosine = jnp.abs(_dot(d, ekl) * sgn)
+                        val = ts * ts / jnp.maximum(cosine * area, 1e-12)
+                        lpv = lpv + jnp.where(hitl, val, 0.0)
+                lpv = lpv / nL
+                mat_pdf_v = jnp.where(
+                    is_iso, 1.0 / (2.0 * PI),
+                    jnp.where(_dot(nrm, d) > 0, _dot(nrm, d) / PI, 0.0))
+                pdf_v = 0.5 * lpv + 0.5 * mat_pdf_v
+            else:
+                d = _normalize(mat_gen)
+                pdf_v = jnp.where(
+                    is_iso, 1.0 / (2.0 * PI),
+                    jnp.where(_dot(nrm, d) > 0, _dot(nrm, d) / PI, 0.0))
+
+            scatter_pdf = jnp.where(
+                is_iso, 1.0 / (2.0 * PI), jnp.maximum(_dot(nrm, d), 0.0) / PI)
+            pdf_ok = pdf_v > 1e-12
+            safe_pdf = jnp.where(pdf_ok, pdf_v, 1.0)
+            diffuse_w = albedo * jnp.where(pdf_ok, scatter_pdf / safe_pdf, 0.0)
+
+            # metal
+            is_metal = mtype == float(T.MAT_METAL)
+            refl = rd - nrm * (2.0 * _dot(rd, nrm))
+            fuzz = _sample_in_ball(
+                _uniform(keys_b, SLOT_FUZZ), _uniform(keys_b, SLOT_FUZZ + 1),
+                _uniform(keys_b, SLOT_FUZZ + 2))
+            metal_dir = _normalize(refl + fuzz * (1.0 - mparam))
+
+            # dielectric
+            is_diel = mtype == float(T.MAT_DIELECTRIC)
+            ref_idx = jnp.where(is_diel, mparam, 1.5)
+            cosI = -_dot(rd, nrm)
+            entering = cosI >= 0
+            facing_n = _vwhere(entering, nrm, V3(-nrm.x, -nrm.y, -nrm.z))
+            ni_over_nt = jnp.where(entering, 1.0 / ref_idx, ref_idx)
+            ncosI = _dot(rd, facing_n)
+            sinT2 = (ni_over_nt * ni_over_nt) * (1.0 - ncosI * ncosI)
+            can_refract = sinT2 <= 1.0
+            safe_r = sinT2 < 1.0 - 1e-9
+            cosT = jnp.where(safe_r, jnp.sqrt(jnp.where(safe_r, 1.0 - sinT2, 1.0)), 0.0)
+            refracted = rd * ni_over_nt + facing_n * (ni_over_nt * (-ncosI) - cosT)
+            cs_arg = jnp.clip(1.0 - ni_over_nt * ni_over_nt * (1.0 - cosI * cosI),
+                              0.0, 1.0)
+            cs_ok = cs_arg > 1e-12
+            cos_schlick = jnp.where(
+                entering, cosI,
+                jnp.where(cs_ok, jnp.sqrt(jnp.where(cs_ok, cs_arg, 1.0)), 0.0))
+            reflect_prob = jnp.where(can_refract, _schlick(cos_schlick, ref_idx), 1.0)
+            do_reflect = _uniform(keys_b, SLOT_FRESNEL) < reflect_prob
+            diel_dir = _vwhere(do_reflect, _normalize(refl), _normalize(refracted))
+            inside_after = jnp.where(entering, inside + 1, jnp.maximum(inside - 1, 0))
+            diel_inside = jnp.where(do_reflect, inside, inside_after)
+
+            is_specular = is_metal | is_diel
+            new_rd = _vwhere(is_metal, metal_dir, _vwhere(is_diel, diel_dir, d))
+            new_inside = jnp.where(is_diel, diel_inside, 0)
+            ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t), jnp.ones_like(safe_t))
+            weight = _vwhere(is_diel, ones3, _vwhere(is_specular, albedo, diffuse_w))
+            scattered = depth_ok & ~is_light
+            add_emitted = ~(scattered & is_specular)
+
+            # ---------------- advance + merge + regen (wavefront body) ---------
+            miss = alive & ~hit
+            if use_sky:
+                tsky = 0.5 * (rd.y + 1.0)
+                bg = V3((1.0 - tsky) + tsky * 0.5, (1.0 - tsky) + tsky * 0.7,
+                        (1.0 - tsky) + tsky * 1.0)
+            else:
+                bg = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
+            zero3 = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
+            radiance = radiance + _vwhere(miss, beta * bg, zero3)
+            emit_mask = alive & hit & add_emitted
+            radiance = radiance + _vwhere(emit_mask, beta * emitted, zero3)
+            cont = alive & hit & scattered
+            beta = _vwhere(cont, beta * weight, beta)
+            cont = cont & ((beta.x > 0.0) | (beta.y > 0.0) | (beta.z > 0.0))
+
+            finished = alive & ~cont
+            cnt_f = count.astype(jnp.float32)
+            has_prev = count > 0
+            inv_prev = 1.0 / jnp.maximum(cnt_f, 1.0)
+            prev_avg = _vwhere(has_prev, accum * inv_prev, zero3)
+            finite = (jnp.isfinite(radiance.x) & jnp.isfinite(radiance.y)
+                      & jnp.isfinite(radiance.z))
+            color = _vwhere(finite, radiance, prev_avg)
+            new_avg = _vwhere(has_prev,
+                              prev_avg + (color - prev_avg) * (1.0 / (cnt_f + 1.0)),
+                              color)
+            lum = 0.212655 * new_avg.x + 0.715158 * new_avg.y + 0.072187 * new_avg.z
+            lscale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
+            new_avg = new_avg * lscale
+            accum = _vwhere(finished, new_avg * (cnt_f + 1.0), accum)
+            count = jnp.where(finished, count + 1, count)
+
+            regen = finished & (count < n_samples)
+            samp = sample_lo + count
+            # camera rays (camera.py get_rays + analytic stratified offsets)
+            new_keys = _ray_key(pix, samp.astype(jnp.uint32))
+            ci = jnp.clip(samp, 0, sq * sq - 1)
+            off_x = ((ci // sq).astype(jnp.float32) + 0.5) / sq
+            off_y = ((ci % sq).astype(jnp.float32) + 0.5) / sq
+            # Mosaic has no u32->f32 cast; hop through i32 (width < 2^31)
+            xpix = (pix % width).astype(jnp.int32).astype(jnp.float32)
+            ypix = (pix // width).astype(jnp.int32).astype(jnp.float32)
+            ss = (xpix + off_x) / width
+            tt = (ypix + off_y) / height
+            kc = _fold(new_keys, jnp.full_like(new_keys, CAM_FOLD))
+            u1 = _uniform(kc, 0)
+            u2 = _uniform(kc, 1)
+            u3 = _uniform(kc, 2)
+            radd = jnp.sqrt(u1)
+            phid = 2.0 * PI * u2
+            lens_r = cam_ref[18]
+            dx = radd * jnp.cos(phid) * lens_r
+            dy = radd * jnp.sin(phid) * lens_r
+            cu = V3(cam_ref[12] + 0.0 * safe_t, cam_ref[13] + 0.0 * safe_t,
+                    cam_ref[14] + 0.0 * safe_t)
+            cvv3 = V3(cam_ref[15] + 0.0 * safe_t, cam_ref[16] + 0.0 * safe_t,
+                      cam_ref[17] + 0.0 * safe_t)
+            offset = cu * dx + cvv3 * dy
+            new_time = cam_ref[19] + (cam_ref[20] - cam_ref[19]) * u3
+            corig = V3(cam_ref[0] + 0.0 * safe_t, cam_ref[1] + 0.0 * safe_t,
+                       cam_ref[2] + 0.0 * safe_t)
+            new_ro = corig + offset
+            new_dir = _normalize(V3(
+                cam_ref[3] + cam_ref[6] * ss + cam_ref[9] * tt - cam_ref[0] - offset.x,
+                cam_ref[4] + cam_ref[7] * ss + cam_ref[10] * tt - cam_ref[1] - offset.y,
+                cam_ref[5] + cam_ref[8] * ss + cam_ref[11] * tt - cam_ref[2] - offset.z,
+            ))
+
+            out_ro = _vwhere(regen, new_ro, _vwhere(cont, p, ro))
+            out_rd = _vwhere(regen, new_dir, _vwhere(cont, new_rd, rd))
+            out_time = jnp.where(regen, new_time, time)
+            out_inside = jnp.where(regen, 0,
+                                   jnp.where(cont, new_inside, inside))
+            out_beta = _vwhere(regen, ones3, beta)
+            out_rad = _vwhere(regen, zero3, radiance)
+            out_depth = jnp.where(regen, 0, depth + 1)
+            out_alive = (cont | regen).astype(jnp.float32)
+            out_keys = jnp.where(regen, new_keys, keys)
+
+            return (
+                accum.x, accum.y, accum.z,
+                out_ro.x, out_ro.y, out_ro.z,
+                out_rd.x, out_rd.y, out_rd.z,
+                out_time,
+                out_beta.x, out_beta.y, out_beta.z,
+                out_rad.x, out_rad.y, out_rad.z,
+                out_alive,
+                count, out_inside, out_depth,
+                out_keys, rays_ct,
+            )
+
+        # The while cond is a cross-vreg reduction + scalar sync each check;
+        # amortize it over COND_EVERY bounces (dead-lane steps are masked
+        # no-ops, so extra steps after a lane retires are harmless).
+        def multi(c):
+            return jax.lax.fori_loop(0, COND_EVERY, lambda t, cc: step(cc), c)
+
+        carry = jax.lax.while_loop(cond, multi, carry0)
+        fo_ref[:] = jnp.stack(carry[:NF])
+        io_ref[:] = jnp.stack(carry[NF:NF + NI])
+        ko_ref[:] = carry[NF + NI]
+        ray_ref[:] = carry[NF + NI + 1]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=(
+    "meta", "width", "height", "sq", "max_bounces", "interpret",
+    "block_rows"))
+def fused_render_blocks(meta, tables, fstate, istate, keys, pix, sample_lo,
+                        max_lum, n_samples, *, width, height, sq, max_bounces,
+                        interpret=False, block_rows=BLOCK_ROWS):
+    """Run each (BR, 128) lane block's full render loop in ONE kernel launch.
+
+    State arrays are (rows, R128, 128) with lane l at (l // 128, l % 128);
+    blocks of BLOCK_ROWS rows execute sequentially on the core, each looping
+    until its own lanes exhaust their samples (no cross-block straggler
+    sync — the XLA while_loop runs the whole frame to the slowest pixel).
+    meta must be hashable (tuple of items from pack_scene's dict);
+    sample_lo/n_samples are traced (sample-sharded callers pass different
+    blocks per device)."""
+    meta_d = dict(meta)
+    r128 = fstate.shape[1]
+    kernel = _make_kernel(meta_d, width, height, sq, max_bounces)
+    misc = jnp.stack([max_lum, sample_lo.astype(jnp.float32),
+                      jnp.asarray(n_samples, jnp.int32).astype(jnp.float32)])
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec3 = lambda rows: pl.BlockSpec((rows, block_rows, 128),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    f_out, i_out, k_out, ray_out = pl.pallas_call(
+        kernel,
+        grid=(r128 // block_rows,),
+        in_specs=[smem] * 8 + [spec3(NF), spec3(NI), spec2, spec2],
+        out_specs=[spec3(NF), spec3(NI), spec2, spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NI, r128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((r128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*tables, misc, fstate, istate, keys, pix)
+    return f_out, i_out, k_out, ray_out
+
+
+def render_wavefront_fused_pixels(scene, pix, offsets_unused, sample_lo,
+                                  n_samples, max_lum, *, width, height,
+                                  max_bounces, spp_sq, interpret=False,
+                                  block_rows=BLOCK_ROWS):
+    """Fused-kernel equivalent of integrator.render_wavefront_pixels.
+
+    Same estimator (counter-keyed RNG, draw2 merge, NaN/clamp policy);
+    returns (accum V3, count, rays_traced).
+    """
+    meta_d, tables = pack_scene(scene)
+    meta = tuple(sorted(meta_d.items()))
+    n = pix.shape[0]
+    rem = (-n) % (block_rows * 128)
+    n_pad = n + rem
+    pix_p = jnp.concatenate([pix.astype(jnp.uint32),
+                             jnp.zeros((rem,), jnp.uint32)]) if rem else pix.astype(jnp.uint32)
+
+    # initial camera rays built host-side via the XLA camera (identical
+    # formulas to the in-kernel regen path)
+    from miniraytracer_tpu.models import camera as cam_mod
+    from miniraytracer_tpu.ops import rng as rng_mod
+
+    sample0 = jnp.full((n_pad,), 0, jnp.int32) + sample_lo
+    keys0 = rng_mod.ray_key(pix_p, sample0.astype(jnp.uint32))
+    x = (pix_p % width).astype(jnp.float32)
+    y = (pix_p // width).astype(jnp.float32)
+    ci = jnp.clip(sample0, 0, spp_sq * spp_sq - 1)
+    off_x = ((ci // spp_sq).astype(jnp.float32) + 0.5) / spp_sq
+    off_y = ((ci % spp_sq).astype(jnp.float32) + 0.5) / spp_sq
+    rays0 = cam_mod.get_rays(scene.camera, (x + off_x) / width,
+                             (y + off_y) / height, keys0)
+
+    r128 = n_pad // 128
+    t2 = lambda a: a.reshape(r128, 128)  # lane l -> (l // 128, l % 128)
+    zero = jnp.zeros((n_pad,), jnp.float32)
+    alive0 = jnp.where(
+        (jnp.arange(n_pad) < n) & (jnp.asarray(n_samples) > 0), 1.0, 0.0)
+    one = jnp.ones((n_pad,), jnp.float32)
+    fstate = jnp.stack([t2(a) for a in (
+        zero, zero, zero,
+        rays0.ro.x, rays0.ro.y, rays0.ro.z,
+        rays0.rd.x, rays0.rd.y, rays0.rd.z,
+        rays0.time, one, one, one, zero, zero, zero, alive0)])
+    izero = jnp.zeros((n_pad,), jnp.int32)
+    istate = jnp.stack([t2(a) for a in (izero, rays0.inside, izero)])
+
+    f_out, i_out, _, ray_out = fused_render_blocks(
+        meta, tuple(tables), fstate, istate, t2(keys0), t2(pix_p),
+        jnp.asarray(sample_lo, jnp.int32), jnp.asarray(max_lum, jnp.float32),
+        jnp.asarray(n_samples, jnp.int32),
+        width=width, height=height, sq=spp_sq, max_bounces=max_bounces,
+        interpret=interpret, block_rows=block_rows,
+    )
+    flat = lambda a: a.reshape(-1)[:n]
+    accum = V3(flat(f_out[R_ACC]), flat(f_out[R_ACC + 1]),
+               flat(f_out[R_ACC + 2]))
+    count = flat(i_out[I_COUNT])
+    rays_traced = jnp.sum(ray_out)
+    return accum, count, rays_traced
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "ns", "sq", "max_bounces", "interpret", "block_rows"))
+def _fused_frame_jit(scene, max_lum, *, width, height, ns, sq, max_bounces,
+                     interpret, block_rows):
+    # module-level jit: cached across renders (a per-call closure would
+    # retrace + recompile every invocation — measured 2.6 s vs the 0.11 s
+    # kernel on Cornell 500x500x64)
+    pix = jnp.arange(width * height, dtype=jnp.uint32)
+    accum, count, rays = render_wavefront_fused_pixels(
+        scene, pix, None, jnp.int32(0), ns, max_lum,
+        width=width, height=height, max_bounces=max_bounces, spp_sq=sq,
+        interpret=interpret, block_rows=block_rows,
+    )
+    inv = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return (accum * inv).arr, rays
+
+
+def render_wavefront_fused(scene, width, height, spp, max_bounces=32,
+                           max_lum=1000.0, interpret=False,
+                           block_rows=BLOCK_ROWS):
+    """Full-frame fused-kernel wavefront render. Returns (frame, stats)."""
+    import time as _time
+
+    sq = int(np.sqrt(spp))
+    ns = sq * sq
+
+    t0 = _time.perf_counter()
+    frame, rays = _fused_frame_jit(
+        scene, jnp.float32(max_lum), width=width, height=height, ns=ns, sq=sq,
+        max_bounces=max_bounces, interpret=interpret, block_rows=block_rows)
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total = float(rays)
+    return frame.reshape(height, width, 3), {
+        "seconds": elapsed,
+        "rays": total,
+        "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": ns,
+    }

@@ -103,13 +103,16 @@ def render_pass_sharded(
 
 
 @lru_cache(maxsize=32)
-def _make_wavefront_fn(mesh: Mesh, width: int, height: int, spp: int, max_bounces: int):
+def _make_wavefront_fn(mesh: Mesh, width: int, height: int, spp: int,
+                       max_bounces: int, fused: bool = False,
+                       interpret: bool = False):
     ndp = mesh.shape["dp"]
     nsp = mesh.shape["sp"]
     n_pix = width * height
     n_pad = _padded_size(n_pix, ndp)
     local = n_pad // ndp
     offs, ns = integ.sample_offsets(spp)
+    sq = int(ns**0.5)
     base_n, rem = divmod(ns, nsp)
 
     def body(scene, max_lum):
@@ -120,10 +123,19 @@ def _make_wavefront_fn(mesh: Mesh, width: int, height: int, spp: int, max_bounce
         sp = jax.lax.axis_index("sp")
         lo = sp * base_n + jnp.minimum(sp, rem)
         cnt = base_n + (sp < rem).astype(jnp.int32)
-        accum, count, rays = integ.render_wavefront_pixels(
-            scene, pix, offs, lo, cnt, max_lum,
-            width=width, height=height, max_bounces=max_bounces,
-        )
+        if fused:
+            from miniraytracer_tpu.ops import bounce
+
+            accum, count, rays = bounce.render_wavefront_fused_pixels(
+                scene, pix, offs, lo, cnt, max_lum,
+                width=width, height=height, max_bounces=max_bounces,
+                spp_sq=sq, interpret=interpret,
+            )
+        else:
+            accum, count, rays = integ.render_wavefront_pixels(
+                scene, pix, offs, lo, cnt, max_lum,
+                width=width, height=height, max_bounces=max_bounces,
+            )
         # sample-weighted combine across sp blocks (clamp/NaN-guard applied
         # per block — identical to single-device when nsp == 1)
         accum = jax.lax.psum(accum, "sp")  # V3 pytree psum
@@ -151,14 +163,25 @@ def render_wavefront_distributed(
     mesh: Mesh,
     max_bounces: int = 32,
     max_lum: float = 1000.0,
+    fused: bool | None = None,
+    interpret: bool = False,
 ):
     """Whole-frame wavefront render as ONE SPMD program: pixels over dp,
     contiguous sample blocks over sp, lane regeneration inside.
 
+    `fused=None` auto-selects the fused Pallas bounce kernel (ops/bounce.py)
+    when the scene is eligible (small const/checker scenes on TPU) — same
+    estimator, one HBM round trip per bounce instead of ~40 fusions.
+
     Returns (frame (H,W,3) on host, stats)."""
     import time as _time
 
-    fn = _make_wavefront_fn(mesh, width, height, spp, max_bounces)
+    if fused is None:
+        from miniraytracer_tpu.ops import bounce
+
+        fused = bounce.can_fuse(scene)
+    fn = _make_wavefront_fn(mesh, width, height, spp, max_bounces,
+                            bool(fused), interpret)
     t0 = _time.perf_counter()
     frame, rays = fn(scene, jnp.float32(max_lum))
     frame.block_until_ready()
@@ -170,6 +193,7 @@ def render_wavefront_distributed(
         "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
         "spp": int(spp**0.5) ** 2,
         "devices": mesh.devices.size,
+        "renderer": "wavefront-fused" if fused else "wavefront",
     }
     host = jax.device_get(frame)[: width * height]
     return host.reshape(height, width, 3), stats
