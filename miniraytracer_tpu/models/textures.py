@@ -171,7 +171,7 @@ def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3,
         if perlin_ops is not None:
             from miniraytracer_tpu.ops import noise
 
-            turb = noise.flash_turbulence(perlin_ops[0], perlin_ops[1], p * scale)
+            turb = noise.flash_turbulence(perlin_ops, p * scale)
         else:
             turb = perlin_turbulence(scene, p * scale)
         out = vwhere(ttype == T.TEX_PERLIN, V3(turb, turb, turb), out)

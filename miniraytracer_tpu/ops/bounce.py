@@ -14,9 +14,14 @@ native; a (1, N) row layout measured 17x slower at 1/8 sublane occupancy).
 
 Applicability (can_fuse): scenes whose primitive/material/texture tables
 fit in SMEM as scalars with STATIC python loops — all prim counts <= 64,
-const/checker textures only (no image/perlin — those scenes keep the XLA
-path or their own kernels). This covers the Cornell/smoke/spheres class
-where shading bookkeeping dominates. Estimator semantics are IDENTICAL to
+const/checker/PERLIN textures (no image — those scenes keep the XLA path).
+Perlin turbulence (texture.cpp:107-203) runs fully in-kernel: the 256-entry
+permutation/gradient tables live in VMEM as (8, 128) lane-replicated tiles
+and every lookup is ONE Mosaic lane-gather (take_along_axis on the 128
+lanes) per half + a select — the only gather form Mosaic supports, and ~3
+VPU ops per 1024 lookups vs the 16x16 one-hot factorization's matmuls
+(ops/noise.py, the standalone kernel for the XLA path). This covers the
+Cornell/smoke/spheres/perlin class where shading bookkeeping dominates. Estimator semantics are IDENTICAL to
 render_wavefront_pixels (same counter-keyed RNG slots, same masked-branch
 formulas, same merge/NaN/clamp policy); floats may differ by reassociation
 only.
@@ -86,8 +91,9 @@ def can_fuse(scene: T.SceneData) -> bool:
         and scene.n_volumes <= MAX_VOLS
         and scene.mat_type.shape[0] <= MAX_MATS
         and scene.tex_type.shape[0] <= MAX_TEXS
-        and not scene.has_perlin
         and not scene.has_image
+        and not scene.fast_perlin  # parity tables only (the opt-in hash
+        # -gradient mode stays on the XLA path)
         and len(scene.lights) <= 4
     )
 
@@ -104,6 +110,7 @@ def pack_scene(scene: T.SceneData):
         X=int(scene.tex_type.shape[0]),
         lights=tuple(scene.lights), use_sky=bool(scene.use_sky),
         exact_cosine=bool(scene.exact_cosine),
+        perlin=bool(scene.has_perlin),
     )
     sph = jnp.concatenate([
         scene.sph_c0.reshape(-1), scene.sph_c1.reshape(-1),
@@ -139,6 +146,27 @@ def pack_scene(scene: T.SceneData):
         scene.tex_type.astype(jnp.float32), scene.tex_c0.reshape(-1),
         scene.tex_c1.reshape(-1), scene.tex_scale,
     ])
+    # perlin permutation/gradient tables, lane-gather layout: each 256-entry
+    # table becomes 16 rows of (128,) — rows 0-7 replicate entries [0:128],
+    # rows 8-15 replicate [128:256] (one (8,128) tile per half; the kernel
+    # gathers along lanes and selects halves by idx >> 7). Order: px py pz
+    # gx gy gz -> (96, 128) f32. Always present (zeros when unused) so the
+    # kernel signature is stable.
+    if meta["perlin"]:
+        def _ghalves(t256):
+            t = jnp.asarray(t256, jnp.float32)
+            return jnp.concatenate([
+                jnp.tile(t[:128][None, :], (8, 1)),
+                jnp.tile(t[128:][None, :], (8, 1)),
+            ])
+        ptab = jnp.concatenate([
+            _ghalves(scene.perlin_px), _ghalves(scene.perlin_py),
+            _ghalves(scene.perlin_pz),
+            _ghalves(scene.perlin_vec[:, 0]), _ghalves(scene.perlin_vec[:, 1]),
+            _ghalves(scene.perlin_vec[:, 2]),
+        ])
+    else:
+        ptab = jnp.zeros((96, 128), jnp.float32)
     cam = scene.camera
     camv = jnp.concatenate([
         jnp.asarray(cam.origin, jnp.float32),
@@ -151,7 +179,7 @@ def pack_scene(scene: T.SceneData):
             [cam.lens_radius, cam.time0, cam.time1], jnp.float32
         ).reshape(-1),
     ])
-    return meta, [sph, rect, tri, vol, mat, tex, camv]
+    return meta, [sph, rect, tri, vol, mat, tex, camv, ptab]
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +272,73 @@ def _schlick(cosine, ref_index):
     return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
 
 
+PERLIN_DEPTH = 7  # turbulence octaves (texture.cpp:158)
+
+
+def _plut(ptab_ref, k: int, idx):
+    """256-entry table lookup via Mosaic lane-gather.
+
+    Table k's halves live at ptab rows [16k, 16k+8) / [16k+8, 16k+16) as
+    lane-replicated (8, 128) tiles (pack_scene). idx must be (8, 128) i32 in
+    [0, 256) — the ONLY gather shape Mosaic lowers (take_along_axis with
+    operand == index shape == one vreg). Values pass through bit-exactly."""
+    lo = ptab_ref[16 * k: 16 * k + 8, :]
+    hi = ptab_ref[16 * k + 8: 16 * k + 16, :]
+    idx7 = idx & 127
+    vlo = jnp.take_along_axis(lo, idx7, axis=1)
+    vhi = jnp.take_along_axis(hi, idx7, axis=1)
+    return jnp.where(idx < 128, vlo, vhi)
+
+
+def _turbulence(ptab_ref, p: V3):
+    """7-octave Perlin turbulence on an (8, 128) lane tile, fully in-kernel.
+
+    Same tables, same formula, same accumulation order as the XLA path
+    (models/textures.perlin_turbulence): hermite-smoothed trilinear interp
+    of permuted gradients (texture.cpp:68-165). 30 table lookups per octave
+    (6 permutation + 24 gradient components), each 2 lane-gathers + select."""
+    acc_t = jnp.zeros_like(p.x)
+    weight = 1.0
+    cx, cy, cz = p.x, p.y, p.z
+    for _ in range(PERLIN_DEPTH):
+        def prep(c):
+            pf = jnp.floor(c)
+            fr = c - pf
+            h = fr * fr * (3.0 - 2.0 * fr)  # hermite (texture.cpp:70-71)
+            return pf.astype(jnp.int32), fr, h
+
+        ix, fx, hx = prep(cx)
+        iy, fy, hy = prep(cy)
+        iz, fz, hz = prep(cz)
+
+        # permutation values per axis for the +0/+1 lattice corners
+        pv = []  # x0 x1 y0 y1 z0 z1, each (8, 128) i32
+        for a, ic in enumerate((ix, iy, iz)):
+            for d in (0, 1):
+                pv.append(_plut(ptab_ref, a, (ic + d) & 255).astype(jnp.int32))
+
+        acc = jnp.zeros_like(p.x)
+        for di in (0, 1):
+            ax = hx if di else 1.0 - hx
+            wx = fx - di
+            for dj in (0, 1):
+                ay = hy if dj else 1.0 - hy
+                wy = fy - dj
+                for dk in (0, 1):
+                    az = hz if dk else 1.0 - hz
+                    wz = fz - dk
+                    gi = pv[di] ^ pv[2 + dj] ^ pv[4 + dk]
+                    gx = _plut(ptab_ref, 3, gi)
+                    gy = _plut(ptab_ref, 4, gi)
+                    gz = _plut(ptab_ref, 5, gi)
+                    d = gx * wx + gy * wy + gz * wz
+                    acc = acc + ax * ay * az * d
+        acc_t = acc_t + weight * acc
+        weight *= 0.5
+        cx, cy, cz = cx * 2.0, cy * 2.0, cz * 2.0
+    return jnp.abs(acc_t)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -256,10 +351,11 @@ def _make_kernel(meta, width, height, sq, max_bounces):
     lights = meta["lights"]
     use_sky = meta["use_sky"]
     exact_cos = meta["exact_cosine"]
+    perlin = meta["perlin"]
     nL = max(len(lights), 1)
 
     def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
-               misc_ref, f_ref, i_ref, k_ref, pix_ref,
+               ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref,
                fo_ref, io_ref, ko_ref, ray_ref):
         # Blocks are (BR, 128) lane tiles — native VPU vreg shape, full
         # sublane occupancy (a (1, B) row layout measured 17x slower).
@@ -533,6 +629,11 @@ def _make_kernel(meta, width, height, sq, max_bounces):
             sines = (jnp.sin(tscale * p.x) * jnp.sin(tscale * p.y)
                      * jnp.sin(tscale * p.z))
             albedo = _vwhere((ttype == float(T.TEX_CHECKER)) & (sines < 0), c1, c0)
+            if perlin:
+                turb = _turbulence(
+                    ptab_ref, V3(p.x * tscale, p.y * tscale, p.z * tscale))
+                albedo = _vwhere(ttype == float(T.TEX_PERLIN),
+                                 V3(turb, turb, turb), albedo)
 
             nrm = w_n
             is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)
@@ -856,11 +957,16 @@ def fused_render_blocks(meta, tables, fstate, istate, keys, pix, sample_lo,
     sample_lo/n_samples are traced (sample-sharded callers pass different
     blocks per device)."""
     meta_d = dict(meta)
+    if meta_d["perlin"] and block_rows != 8:
+        raise ValueError("perlin lane-gather lookups require (8, 128) tiles "
+                         f"(got block_rows={block_rows})")
     r128 = fstate.shape[1]
     kernel = _make_kernel(meta_d, width, height, sq, max_bounces)
     misc = jnp.stack([max_lum, sample_lo.astype(jnp.float32),
                       jnp.asarray(n_samples, jnp.int32).astype(jnp.float32)])
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ptab_spec = pl.BlockSpec((96, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     spec3 = lambda rows: pl.BlockSpec((rows, block_rows, 128),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
@@ -869,7 +975,8 @@ def fused_render_blocks(meta, tables, fstate, istate, keys, pix, sample_lo,
     f_out, i_out, k_out, ray_out = pl.pallas_call(
         kernel,
         grid=(r128 // block_rows,),
-        in_specs=[smem] * 8 + [spec3(NF), spec3(NI), spec2, spec2],
+        in_specs=([smem] * 7 + [ptab_spec, smem]
+                  + [spec3(NF), spec3(NI), spec2, spec2]),
         out_specs=[spec3(NF), spec3(NI), spec2, spec2],
         out_shape=[
             jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),

@@ -18,10 +18,10 @@ def test_flash_turbulence_matches_xla_path():
     pts = rng.uniform(-9, 9, (4096, 3)).astype(np.float32)
     p = V3(*[jnp.asarray(pts[:, k]) for k in range(3)])
     ref = tex.perlin_turbulence(scene, p)
-    perm96, vec48 = noise.noise_tables(
+    ptab = noise.noise_tables(
         scene.perlin_px, scene.perlin_py, scene.perlin_pz, scene.perlin_vec
     )
-    got = noise.flash_turbulence(perm96, vec48, p, interpret=True)
+    got = noise.flash_turbulence(ptab, p, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
@@ -32,8 +32,8 @@ def test_flash_turbulence_negative_coords_and_padding():
     pts = rng.uniform(-300, 300, (777, 3)).astype(np.float32)
     p = V3(*[jnp.asarray(pts[:, k]) for k in range(3)])
     ref = tex.perlin_turbulence(scene, p)
-    perm96, vec48 = noise.noise_tables(
+    ptab = noise.noise_tables(
         scene.perlin_px, scene.perlin_py, scene.perlin_pz, scene.perlin_vec
     )
-    got = noise.flash_turbulence(perm96, vec48, p, interpret=True)
+    got = noise.flash_turbulence(ptab, p, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
