@@ -76,6 +76,11 @@ def main():
                          "Mrays/s fwd+bwd on Cornell 500x500x32.")
     ap.add_argument("--scan-steps", type=int, default=0,
                     help="packed scan trip count (0 = pack*6 + bounces + 1)")
+    ap.add_argument("--spp-step", type=int, default=4,
+                    help="samples per pixel per train step (pack mode): "
+                         "spp_step x the lanes in one scan amortizes per-op "
+                         "dispatch overhead. Default from the on-chip sweep "
+                         "(round 2).")
     ap.add_argument("--scene", type=str, default="cornell_box")
     ap.add_argument("--wait-minutes", type=float, default=12.0,
                     help="how long to wait for the TPU tunnel before falling "
@@ -148,7 +153,8 @@ def main():
 
     # ---- forward+backward training step (headline) ----
     step = make_train_step(mesh, width=W, height=H, max_bounces=B,
-                           pack=args.pack, scan_steps=args.scan_steps)
+                           pack=args.pack, scan_steps=args.scan_steps,
+                           spp_step=args.spp_step)
     params = extract_params(scene)
     target = frame  # use the partially converged render as the target
     lr = jnp.float32(0.0)
@@ -157,7 +163,33 @@ def main():
         scene, make_frame(W, H, mesh), jnp.int32(0), offs, ml,
         width=W, height=H, max_bounces=B, mesh=mesh, loop="scan",
     )
-    scan_rays = float(scan_rays)
+    # one step renders spp_step samples per pixel; discount the (tiny)
+    # fraction of items the claim-gated scan leaves unstarted so the
+    # reported rays are what was actually traced, not the nominal budget
+    if args.pack > 1:
+        # replicate the step's exact item list (pixels x spp_step samples)
+        pix_all = jnp.tile(jnp.arange(W * H, dtype=jnp.uint32), args.spp_step)
+        samp_all = jnp.repeat(
+            jnp.arange(args.spp_step, dtype=jnp.int32), W * H
+        )
+        off_all = offs[samp_all % offs.shape[0]]
+        pad = (-pix_all.shape[0]) % args.pack
+        if pad:
+            pix_all = jnp.concatenate(
+                [pix_all, jnp.full((pad,), W * H - 1, jnp.uint32)]
+            )
+            samp_all = jnp.concatenate([samp_all, samp_all[-1:].repeat(pad)])
+            off_all = jnp.concatenate(
+                [off_all, jnp.broadcast_to(off_all[-1:], (pad, 2))]
+            )
+        _, done_mask, _ = integ.sample_radiance_packed(
+            scene, pix_all, samp_all, off_all, width=W, height=H,
+            max_bounces=B, pack=args.pack, scan_steps=args.scan_steps,
+        )
+        done_frac = float(done_mask.mean())
+    else:
+        done_frac = 1.0
+    scan_rays = float(scan_rays) * args.spp_step * done_frac
     # two warmup steps: the second compiles the steady-state layout (fed-back
     # params carry jit-decided shardings that differ from the host arrays)
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
@@ -184,6 +216,8 @@ def main():
             "bounces": B,
             "scene": scene.name,
             "pack": args.pack,
+            "spp_step": args.spp_step,
+            "done_frac": round(done_frac, 5),
         },
     }
     try:

@@ -207,8 +207,8 @@ def _write_slot(table2d: jnp.ndarray, slot: jnp.ndarray, val, mask, pack: int):
 def sample_radiance_packed(
     scene: T.SceneData,
     pix: jnp.ndarray,  # (I,) u32 pixel ids, I % pack == 0
-    sample_idx,  # () i32
-    offset: jnp.ndarray,  # (2,) subpixel offset
+    sample_idx,  # () i32, or (I,) i32 per-item sample indices
+    offset: jnp.ndarray,  # (2,) subpixel offset, or (I, 2) per-item offsets
     *,
     width: int,
     height: int,
@@ -251,17 +251,31 @@ def sample_radiance_packed(
     assert claim_limit >= 0, (scan_steps, max_bounces)
 
     pix2d = pix.reshape(lanes, pack)
+    # per-item sample index / subpixel offset (scalars broadcast): lets a
+    # caller batch SEVERAL samples of the same pixel list in one scan
+    # (parallel.train's spp_step) — more lanes per scan step amortizes the
+    # per-op dispatch overhead that dominates at small lane counts
+    samp = jnp.broadcast_to(
+        jnp.asarray(sample_idx, jnp.int32).reshape(-1), (n_items,)
+    )
+    off = jnp.asarray(offset, jnp.float32)
+    if off.ndim == 1:
+        off = jnp.broadcast_to(off[None, :], (n_items, 2))
+    samp2d = samp.reshape(lanes, pack)
+    offx2d = off[:, 0].reshape(lanes, pack)
+    offy2d = off[:, 1].reshape(lanes, pack)
     accel = ix.make_accel(scene, differentiable=True)
 
-    def camera_rays(pix_cur):
+    def camera_rays(pix_cur, samp_cur, ox, oy):
         x = (pix_cur % width).astype(jnp.float32)
         y = (pix_cur // width).astype(jnp.float32)
-        ss = (x + offset[0]) / width
-        tt = (y + offset[1]) / height
-        keys = rng.ray_key(pix_cur, jnp.full(pix_cur.shape, sample_idx, jnp.uint32))
+        ss = (x + ox) / width
+        tt = (y + oy) / height
+        keys = rng.ray_key(pix_cur, samp_cur.astype(jnp.uint32))
         return cam_mod.get_rays(scene.camera, ss, tt, keys), keys
 
-    rays0, keys0 = camera_rays(pix2d[:, 0])
+    rays0, keys0 = camera_rays(pix2d[:, 0], samp2d[:, 0], offx2d[:, 0],
+                               offy2d[:, 0])
     state = PackedState(
         out=V3.zeros((lanes, pack)),
         count=jnp.zeros((lanes,), jnp.int32),
@@ -290,8 +304,12 @@ def sample_radiance_packed(
         count = jnp.where(finished, s.count + 1, s.count)
 
         regen = finished & (count < pack) & (t < claim_limit)
-        pix_new = _select_slot(pix2d, jnp.minimum(count, pack - 1), pack)
-        new_rays, new_keys = camera_rays(pix_new)
+        slot_new = jnp.minimum(count, pack - 1)
+        pix_new = _select_slot(pix2d, slot_new, pack)
+        samp_new = _select_slot(samp2d, slot_new, pack)
+        ox_new = _select_slot(offx2d, slot_new, pack)
+        oy_new = _select_slot(offy2d, slot_new, pack)
+        new_rays, new_keys = camera_rays(pix_new, samp_new, ox_new, oy_new)
         return PackedState(
             out=out,
             count=count,
@@ -688,6 +706,26 @@ def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces, n_
     return (accum * inv).arr, rays
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_bounces", "n_lanes",
+                     "chunk", "base"),
+)
+def _render_workqueue_chunk_jit(scene, max_lum, *, width, height, spp,
+                                max_bounces, n_lanes, chunk, base):
+    """One sample-block [base, base+chunk) of a spp-stratified work-queue
+    render. Returns raw (accum (P,3), count (P,), rays) so the host can
+    merge blocks (the mean is taken once, after the last block)."""
+    offs, _ = sample_offsets(spp)
+    n_pix = width * height
+    accum, count, rays = render_workqueue_pixels(
+        scene, n_pix, n_lanes or n_pix, offs, chunk, max_lum,
+        width=width, height=height, max_bounces=max_bounces,
+        sample_base=base,
+    )
+    return accum.arr, count, rays
+
+
 def render_workqueue(
     scene: T.SceneData,
     width: int,
@@ -696,18 +734,46 @@ def render_workqueue(
     max_bounces: int = 32,
     max_lum: float = 1000.0,
     n_lanes: int = 0,
+    chunk: int = 0,
 ):
     """Whole-frame work-queue render (throughput mode). n_lanes = 0 uses one
-    lane per pixel. Returns (frame (H,W,3), stats)."""
+    lane per pixel. `chunk` > 0 splits the render into sample blocks of
+    that size, one device dispatch each (bounds single-dispatch runtime —
+    long while_loops can exceed remote-tunnel execution limits — and gives
+    natural checkpoint boundaries); stratification spans the FULL spp, so
+    the estimator is identical to the one-shot render up to accumulation
+    order. Returns (frame (H,W,3), stats)."""
     import time as _time
 
     t0 = _time.perf_counter()
-    frame, rays = _render_workqueue_jit(
-        scene, jnp.float32(max_lum),
-        width=width, height=height, spp=spp, max_bounces=max_bounces,
-        n_lanes=n_lanes,
-    )
-    frame.block_until_ready()
+    if chunk and chunk < spp:
+        _, ns_total = sample_offsets(spp)  # spp rounds to a square grid
+        acc = None
+        cnt = None
+        total_r = 0.0
+        base = 0
+        while base < ns_total:
+            nb = min(chunk, ns_total - base)
+            a, c, r = _render_workqueue_chunk_jit(
+                scene, jnp.float32(max_lum),
+                width=width, height=height, spp=spp,
+                max_bounces=max_bounces, n_lanes=n_lanes, chunk=nb,
+                base=base,
+            )
+            jax.block_until_ready(c)
+            acc = a if acc is None else acc + a
+            cnt = c if cnt is None else cnt + c
+            total_r += float(r)
+            base += nb
+        frame = acc / jnp.maximum(cnt, 1.0)[:, None]
+        rays = total_r
+    else:
+        frame, rays = _render_workqueue_jit(
+            scene, jnp.float32(max_lum),
+            width=width, height=height, spp=spp, max_bounces=max_bounces,
+            n_lanes=n_lanes,
+        )
+        frame.block_until_ready()
     elapsed = _time.perf_counter() - t0
     total = float(rays)
     return frame.reshape(height, width, 3), {
@@ -715,19 +781,23 @@ def render_workqueue(
         "rays": total,
         "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
         "spp": int(jnp.sqrt(spp)) ** 2,
+        "renderer": "workqueue",
     }
 
 
 def pick_renderer(scene: T.SceneData) -> str:
-    """Forward-renderer heuristic (measured on TPU v5e, 500x500x16spp):
-    the work queue's scatter/prefix-sum overhead (~2-3 ms/iteration) pays
-    off only when per-iteration intersection work dominates — i.e. big
-    primitive counts. Crossover sits around ~2k primitives:
-      triangles (11.3k tris): wavefront 1.5 -> workqueue 4.5 Mrays/s
-      book2 (4.8k tris + 1k spheres): 0.8 -> 3.0
-      cornell (19 prims): 123.5 -> 27.1  (wavefront wins)
-    Small const/checker scenes take the fused Pallas bounce kernel
-    (ops/bounce.py) — the whole wavefront body in one kernel.
+    """Forward-renderer heuristic (re-validated on TPU v5e, round 2,
+    500x500, after the f32-precision fix): the work queue's
+    scatter/prefix-sum overhead pays off only when per-iteration
+    intersection work dominates — i.e. big primitive counts. Crossover
+    sits around ~2k primitives (measured, 16spp):
+      triangles (11.3k tris): wavefront 1.0 -> workqueue 3.2 Mrays/s
+      book2 (4.8k tris + 1k spheres): 2.1 -> 3.4
+      cornell (19 prims, 64spp): wavefront-fused 443 (workqueue loses
+      its queue bookkeeping at tiny per-iteration intersection cost)
+    Scenes whose tables fit the fused Pallas bounce kernel's SMEM budget
+    (ops/bounce.py can_fuse — incl. exact Perlin, 231 Mrays/s) run the
+    whole wavefront body in one kernel.
     """
     from miniraytracer_tpu.ops import bounce
 

@@ -56,8 +56,14 @@ except Exception:  # pragma: no cover
 INF = 3.0e38  # python float: jnp scalars captured in a Pallas kernel error out
 TRI_EPS = 1e-5  # triangle.cpp:220
 
-RAY_BLOCK = 1024
-TRI_BLOCK = 256
+# on-chip sweep (round 2, triangles 500x500x16spp end-to-end workqueue):
+# (rb,tb) (1024,256) 3.15, (1024,128) 3.31, (512,256) 3.31, (512,128) 3.33,
+# (256,256) 1.55, (1024,64) — finer tiles gate the cluster matmuls a bit
+# better; rb=256 collapses (too little MXU work per grid step). A two-phase
+# det/tn -> uu/vv gated variant measured 1.79 (nested @pl.when breaks the
+# cluster-loop pipelining) — rejected.
+RAY_BLOCK = 512
+TRI_BLOCK = 128
 NUM_FEATURES = 16  # triangle features
 SPH_FEATURES = 24  # sphere features: 17 real + zero-pad to a sublane multiple
 

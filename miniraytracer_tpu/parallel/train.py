@@ -64,7 +64,7 @@ def apply_params(scene: T.SceneData, p: TrainParams) -> T.SceneData:
 
 @lru_cache(maxsize=16)
 def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
-               pack: int = 1, scan_steps: int = 0):
+               pack: int = 1, scan_steps: int = 0, spp_step: int = 1):
     ndp = mesh.shape["dp"]
     nsp = mesh.shape["sp"]
     n_pix = width * height
@@ -72,8 +72,14 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
     local = n_pad // ndp
     # packed mode renders a pack-aligned item list (tail items repeat the
     # last pixel and are sliced off) so the frame/target padding rule stays
-    # the render layer's (render.make_frame)
-    local_p = -(-local // pack) * pack
+    # the render layer's (render.make_frame). With spp_step > 1 the item
+    # list is the pixel list tiled spp_step times (sample-major) — the scan
+    # has spp_step x the lanes for the SAME trip count, amortizing the
+    # per-op dispatch overhead that dominates the packed step at one
+    # sample/pixel (profiled: 81 iterations over 31k-lane arrays run at
+    # ~0.8 ms/iter of mostly fixed cost on v5e).
+    n_items = local * spp_step
+    local_p = -(-n_items // pack) * pack
 
     def shard_loss(scene, target_l, sample0, offset_all):
         """Per-mesh-cell partial: render local pixels for this cell's sample
@@ -88,21 +94,53 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
         if pack > 1:
             # packed regeneration-in-scan: ~pack items per lane instead of
             # (max_bounces+1) full-width iterations per item (the unpacked
-            # scan runs at <10% lane occupancy for short average paths)
-            pix_items = jnp.concatenate(
-                [pix, jnp.full((local_p - local,), pix[-1], jnp.uint32)]
-            ) if local_p != local else pix
+            # scan runs at <10% lane occupancy for short average paths).
+            # Items are (pixel, sample) pairs: the local pixel list tiled
+            # spp_step times, each tile with its own absolute sample index
+            # (this sp cell consumes samples [sample0 + sp_i*spp_step,
+            # ... + spp_step)) and the matching stratified offset row.
+            s_ids = jnp.repeat(
+                jnp.arange(spp_step, dtype=jnp.int32), local
+            )
+            samp_items = sample0 * spp_step + sp_i * spp_step + s_ids
+            off_items = offset_all[
+                samp_items % offset_all.shape[0]
+            ] if spp_step > 1 else jnp.broadcast_to(
+                offset[None, :], (n_items, 2)
+            )
+            pix_items = jnp.tile(pix, spp_step)
+            if local_p != n_items:
+                tail = local_p - n_items
+                pix_items = jnp.concatenate(
+                    [pix_items, jnp.full((tail,), pix[-1], jnp.uint32)]
+                )
+                samp_items = jnp.concatenate(
+                    [samp_items, samp_items[-1:].repeat(tail)]
+                )
+                off_items = jnp.concatenate(
+                    [off_items, jnp.broadcast_to(off_items[-1:], (tail, 2))]
+                )
             radiance_v, done, _ = integ.sample_radiance_packed(
-                scene, pix_items, sample0 + sp_i, offset,
+                scene, pix_items, samp_items, off_items,
                 width=width, height=height, max_bounces=max_bounces,
                 pack=pack, scan_steps=scan_steps,
             )
-            if local_p != local:
-                radiance_v = V3(
-                    radiance_v.x[:local], radiance_v.y[:local], radiance_v.z[:local]
-                )
-                done = done[:local]
-            valid = done[:, None]
+            rad = radiance_v.arr[:n_items].reshape(spp_step, local, 3)
+            done = done[:n_items].reshape(spp_step, local, 1)
+            val = done & jnp.isfinite(rad)
+            # fold the spp_step samples of each pixel locally (masked sum;
+            # the sp-axis psum below completes the mean)
+            radiance = jnp.where(val, rad, 0.0).sum(axis=0)
+            n_valid_local = val.astype(jnp.float32).sum(axis=0)
+            n_valid = jax.lax.psum(
+                jnp.broadcast_to(n_valid_local, radiance.shape), "sp"
+            )
+            mean_color = jax.lax.psum(radiance, "sp") / jnp.maximum(n_valid, 1.0)
+            err = jnp.where(
+                in_image[:, None] & (n_valid > 0), mean_color - target_l, 0.0
+            )
+            sse = jnp.sum(err * err)
+            return jax.lax.psum(sse, ("dp", "sp"))
         else:
             radiance_v, _ = integ.sample_radiance(
                 scene, pix, sample0 + sp_i, offset,
@@ -149,7 +187,7 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
 
 
 def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
-                    pack: int = 1, scan_steps: int = 0):
+                    pack: int = 1, scan_steps: int = 0, spp_step: int = 1):
     """Jitted SPMD train step.
 
     step(params, scene, target, sample0, offsets, lr)
@@ -163,5 +201,12 @@ def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
     scan iterations (0 = the renderer's default heuristic). Estimator-equal
     to pack=1 whenever all items complete; under-budgeted scan_steps drops
     whole (value-independently selected) samples rather than biasing.
+
+    `spp_step` > 1 (pack mode only) renders that many samples per pixel per
+    step in ONE scan — spp_step x the lanes for the same trip count. The
+    loss then compares the spp_step*nsp-sample pixel mean against the
+    target (lower-variance gradients), and each step consumes
+    nsp*spp_step consecutive sample indices.
     """
-    return _make_step(mesh, width, height, max_bounces, pack, scan_steps)
+    return _make_step(mesh, width, height, max_bounces, pack, scan_steps,
+                      spp_step)

@@ -219,3 +219,38 @@ def test_packed_train_step_pixel_count_not_pack_aligned():
     _, l1, _ = step1(params, scene, frame, jnp.int32(0), offs, jnp.float32(0.0))
     _, l8, _ = step8(params, scene, frame, jnp.int32(0), offs, jnp.float32(0.0))
     assert abs(float(l1) - float(l8)) < 1e-6 * max(1.0, abs(float(l1)))
+
+
+def test_packed_train_step_spp_step_matches_sp_axis():
+    """spp_step=k in one mesh cell renders the same sample set as k cells
+    on the sp axis: identical loss (both average samples [0, k) per pixel
+    with matching stratified offsets), identical gradients."""
+    scene = cornell_box(1.0)
+    W = H = 24
+    B = 6
+    offs, _ = integ.sample_offsets(4)
+    params = extract_params(scene)
+    lr = jnp.float32(0.0)
+
+    mesh_sp = make_mesh(2, 2)  # samples {0,1} on the sp axis
+    frame = make_frame(W, H, mesh_sp)
+    frame, _ = render_pass_sharded(
+        scene, frame, jnp.int32(0), offs, jnp.float32(1000.0),
+        width=W, height=H, max_bounces=B, mesh=mesh_sp,
+    )
+    step_sp = make_train_step(mesh_sp, width=W, height=H, max_bounces=B,
+                              pack=4, scan_steps=4 * 8 + B + 1)
+    _, l_sp, g_sp = step_sp(params, scene, frame, jnp.int32(0), offs, lr)
+
+    mesh_1 = make_mesh(2, 1)  # samples {0,1} via spp_step=2
+    frame1 = make_frame(W, H, mesh_1)
+    step_2 = make_train_step(mesh_1, width=W, height=H, max_bounces=B,
+                             pack=4, scan_steps=4 * 8 + B + 1, spp_step=2)
+    target1 = jnp.asarray(np.asarray(frame))  # same padded layout (dp=2)
+    _, l_2, g_2 = step_2(params, scene, target1, jnp.int32(0), offs, lr)
+
+    assert abs(float(l_sp) - float(l_2)) < 1e-6 * max(1.0, abs(float(l_sp)))
+    for a, b in zip(g_sp, g_2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, atol=1e-5 * max(1.0, np.abs(a).max()))
