@@ -69,18 +69,19 @@ def main():
     ap.add_argument("--bounces", type=int, default=32)
     ap.add_argument("--fwd-passes", type=int, default=16)
     ap.add_argument("--fwdbwd-steps", type=int, default=4)
-    ap.add_argument("--pack", type=int, default=8,
+    ap.add_argument("--pack", type=int, default=16,
                     help="samples per lane in the packed AD scan (1 = legacy "
-                         "full-width scan). Default from the on-chip sweep "
-                         "(round 2): pack=8 10.78, 16 9.41, 32 6.98, 1 5.41 "
-                         "Mrays/s fwd+bwd on Cornell 500x500x32.")
+                         "full-width scan). Default from the on-chip joint "
+                         "sweep (round 2): (pack, spp_step) = (16,8) 16.73, "
+                         "(8,4) 14.53, (4,4) 10.89, (2,8) 6.75 Mrays/s "
+                         "fwd+bwd on Cornell 500x500x32.")
     ap.add_argument("--scan-steps", type=int, default=0,
                     help="packed scan trip count (0 = pack*6 + bounces + 1)")
-    ap.add_argument("--spp-step", type=int, default=4,
+    ap.add_argument("--spp-step", type=int, default=8,
                     help="samples per pixel per train step (pack mode): "
                          "spp_step x the lanes in one scan amortizes per-op "
-                         "dispatch overhead. Default from the on-chip sweep "
-                         "(round 2).")
+                         "dispatch overhead. Default from the on-chip joint "
+                         "sweep (round 2).")
     ap.add_argument("--scene", type=str, default="cornell_box")
     ap.add_argument("--wait-minutes", type=float, default=12.0,
                     help="how long to wait for the TPU tunnel before falling "

@@ -709,13 +709,14 @@ def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces, n_
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_bounces", "n_lanes",
-                     "chunk", "base"),
+                     "chunk"),
 )
-def _render_workqueue_chunk_jit(scene, max_lum, *, width, height, spp,
-                                max_bounces, n_lanes, chunk, base):
+def _render_workqueue_chunk_jit(scene, max_lum, base, *, width, height, spp,
+                                max_bounces, n_lanes, chunk):
     """One sample-block [base, base+chunk) of a spp-stratified work-queue
-    render. Returns raw (accum (P,3), count (P,), rays) so the host can
-    merge blocks (the mean is taken once, after the last block)."""
+    render (`base` is traced — all chunks share one compilation). Returns
+    raw (accum (P,3), count (P,), rays) so the host can merge blocks (the
+    mean is taken once, after the last block)."""
     offs, _ = sample_offsets(spp)
     n_pix = width * height
     accum, count, rays = render_workqueue_pixels(
@@ -755,10 +756,9 @@ def render_workqueue(
         while base < ns_total:
             nb = min(chunk, ns_total - base)
             a, c, r = _render_workqueue_chunk_jit(
-                scene, jnp.float32(max_lum),
+                scene, jnp.float32(max_lum), jnp.int32(base),
                 width=width, height=height, spp=spp,
                 max_bounces=max_bounces, n_lanes=n_lanes, chunk=nb,
-                base=base,
             )
             jax.block_until_ready(c)
             acc = a if acc is None else acc + a

@@ -628,6 +628,183 @@ def flash_tri_hit_culled(cull, ro: V3, rd: V3, inside, tmin, t_seed=None, *,
     return t_s, idx_s
 
 
+# ---------------------------------------------------------------------------
+# Resident-table compacted sweep: the second-generation cluster kernel.
+#
+# The grid kernel above visits EVERY (ray-block, cluster) tile: Pallas DMAs
+# the cluster's coefficient block and runs the slab gate per tile, so a
+# pruned tile still costs its DMA + grid step, and the gate is re-derived
+# in-kernel each visit. Here the four coefficient tables live WHOLE in VMEM
+# (16 MB/core; 11.3k tris = 2.9 MB), an XLA pre-pass computes, per
+# RAY_BLOCK block, the compacted list of clusters any lane can actually
+# improve with (slab pass AND entry distance under that lane's seed),
+# sorted front-to-back by minimum entry distance — and the kernel runs ONE
+# while_loop over exactly that list, with the reference BVH's ordered-
+# traversal break (scene_object.h:224-231): once the next cluster's entry
+# distance exceeds every lane's current best t, no remaining cluster can
+# win. MXU work becomes proportional to geometrically-relevant clusters,
+# not cluster count.
+# ---------------------------------------------------------------------------
+
+RESIDENT_MAX_COEFF_BYTES = 10 * 1024 * 1024  # 4 tables must fit in ~16MB VMEM
+
+
+def resident_ok(cull) -> bool:
+    """True when the scene's coefficient tables fit the resident kernel."""
+    cds = cull[0]
+    return 4 * cds[0].shape[0] * NUM_FEATURES * 4 <= RESIDENT_MAX_COEFF_BYTES
+
+
+def _resident_kernel(cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref, cvv_ref,
+                     ctn_ref, f_ref, inside_ref, seed_ref, tmin_ref,
+                     t_out_ref, i_out_ref):
+    i = pl.program_id(0)
+    f = f_ref[:]  # (16, NB)
+    inside = inside_ref[:]
+    tmin = tmin_ref[0]
+    cnt = cnt_ref[i]
+    hi = _PRECISION
+
+    def cond(c):
+        s, best_t, _ = c
+        # front-to-back break: clusters are sorted by min entry distance;
+        # tnear_lane >= tnm for every lane, so tnm >= max(best_t) means no
+        # remaining cluster can beat ANY lane's winner
+        return (s < cnt) & (tnm_ref[i, s] < jnp.max(best_t))
+
+    def body(c):
+        s, best_t, best_i = c
+        base = cl_ref[i, s] * TRI_BLOCK
+        cdet = cdet_ref[pl.ds(base, TRI_BLOCK), :]
+        cuu = cuu_ref[pl.ds(base, TRI_BLOCK), :]
+        cvv = cvv_ref[pl.ds(base, TRI_BLOCK), :]
+        ctn = ctn_ref[pl.ds(base, TRI_BLOCK), :]
+        det = jnp.dot(cdet, f, preferred_element_type=jnp.float32, precision=hi)
+        uu = jnp.dot(cuu, f, preferred_element_type=jnp.float32, precision=hi)
+        vv = jnp.dot(cvv, f, preferred_element_type=jnp.float32, precision=hi)
+        tn = jnp.dot(ctn, f, preferred_element_type=jnp.float32, precision=hi)
+
+        sign = jnp.where((inside > 0.0) & (det < 0.0), -1.0, 1.0)
+        sdet = det * sign
+        suu = uu * sign
+        svv = vv * sign
+        t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+        valid = (
+            (sdet >= TRI_EPS)
+            & (suu >= 0.0) & (suu <= sdet)
+            & (svv >= 0.0) & (suu + svv <= sdet)
+            & (t >= tmin)
+        )
+        cand = jnp.where(valid, t, INF)
+        local_min = jnp.min(cand, axis=0, keepdims=True)
+        local_arg = (
+            jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :] + base
+        )
+        better = local_min < best_t
+        return (
+            s + 1,
+            jnp.where(better, local_min, best_t),
+            jnp.where(better, local_arg, best_i),
+        )
+
+    best_t0 = seed_ref[:]
+    best_i0 = jnp.zeros(best_t0.shape, jnp.int32)
+    _, bt, bi = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_t0, best_i0)
+    )
+    t_out_ref[:] = bt
+    i_out_ref[:] = bi
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
+                           *, interpret: bool = False):
+    """Closest triangle hit, resident-table compacted sweep.
+
+    Same contract as flash_tri_hit_culled (sorted rays, original-index
+    results, optional per-lane `t_seed` from other primitive types with the
+    caller's tie rule). Requires resident_ok(cull).
+    """
+    cds, bounds, orig_of, cl_ord = cull
+    del cl_ord  # order is per-block front-to-back here, not per-octant
+    n = ro.x.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inside_f = (inside > 0).astype(jnp.float32)
+    seed = jnp.full((n,), INF) if t_seed is None else t_seed
+    key = _ray_sort_key(ro, rd, bounds)
+    (skey, rox, roy, roz, rdx, rdy, rdz, insf, sseed, back) = jax.lax.sort(
+        (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota),
+        num_keys=1,
+    )
+
+    f = _pad_to(ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz)),
+                RAY_BLOCK, 1, 0.0)
+    insp = _pad_to(insf[None, :], RAY_BLOCK, 1, 0.0)
+    seedp = _pad_to(sseed[None, :], RAY_BLOCK, 1, INF)
+    n_pad = f.shape[1]
+    nb = n_pad // RAY_BLOCK
+    nc = bounds.shape[1]
+
+    # ---- XLA pre-pass: per-(ray, cluster) slab test -> per-block compacted
+    # front-to-back cluster lists. A cluster is listed only if SOME lane
+    # both enters its AABB (strict aabb.h:45-76 slab semantics) and does so
+    # nearer than that lane's seed. Padded lanes (f == 0) produce NaN slab
+    # distances and gate nothing in.
+    tn = jnp.full((n_pad, nc), -INF)
+    tf = jnp.full((n_pad, nc), INF)
+    for a in range(3):
+        ro_a = f[1 + a, :][:, None]
+        ird_a = (1.0 / f[4 + a, :])[:, None]
+        t0a = (bounds[a][None, :] - ro_a) * ird_a
+        t1a = (bounds[3 + a][None, :] - ro_a) * ird_a
+        tn = jnp.maximum(tn, jnp.minimum(t0a, t1a))
+        tf = jnp.minimum(tf, jnp.maximum(t0a, t1a))
+    pass_lane = (tf > jnp.maximum(tn, tmin)) & (tn < seedp[0][:, None])
+    tn_eff = jnp.where(pass_lane, tn, INF)  # (n_pad, nc)
+    tn_min = tn_eff.reshape(nb, RAY_BLOCK, nc).min(axis=1)  # (nb, nc)
+    count = (tn_min < INF / 2).sum(axis=1).astype(jnp.int32)  # (nb,)
+    order = jnp.argsort(tn_min, axis=1).astype(jnp.int32)  # front-to-back
+    tn_sorted = jnp.take_along_axis(tn_min, order, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # cl_list, count, tn_sorted
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cdet (Tpad, 16)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_FEATURES, RAY_BLOCK),
+                         lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, i_out = pl.pallas_call(
+        _resident_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order, count, tn_sorted, cds[0], cds[1], cds[2], cds[3], f, insp,
+      seedp, jnp.full((1,), tmin, jnp.float32))
+    t_s = t_out[0, :n]
+    idx_s = jnp.take(orig_of, i_out[0, :n])  # permuted -> original numbering
+    _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
+    return t_fin, idx_fin
+
+
 def _pad_to(x, mult, axis, value):
     size = x.shape[axis]
     rem = (-size) % mult

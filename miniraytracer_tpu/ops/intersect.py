@@ -571,11 +571,20 @@ def scene_hit(
         elif "tri_cull" in accel:
             # seed with the sphere/rect winners: clusters behind an existing
             # hit are pruned; the tie rule below prefers sphere/rect, so a
-            # returned t == seed never misattributes the surface
-            t_t, i_t = flash.flash_tri_hit_culled(
-                accel["tri_cull"], rays.ro, rays.rd, rays.inside, tmin,
-                jnp.minimum(t_s, t_r),
-            )
+            # returned t == seed never misattributes the surface. The
+            # resident-table kernel (tables whole in VMEM, per-block
+            # compacted front-to-back cluster lists) runs when the tables
+            # fit; the grid kernel covers arbitrarily large scenes.
+            if flash.resident_ok(accel["tri_cull"]):
+                t_t, i_t = flash.flash_tri_hit_resident(
+                    accel["tri_cull"], rays.ro, rays.rd, rays.inside, tmin,
+                    jnp.minimum(t_s, t_r),
+                )
+            else:
+                t_t, i_t = flash.flash_tri_hit_culled(
+                    accel["tri_cull"], rays.ro, rays.rd, rays.inside, tmin,
+                    jnp.minimum(t_s, t_r),
+                )
         else:
             t_t, i_t = flash.flash_tri_hit(
                 accel["tri"], rays.ro, rays.rd, rays.inside, tmin

@@ -238,6 +238,57 @@ def test_flash_tri_culled_matches_uncut():
         assert (np.asarray(i_ref)[both] == np.asarray(i_c)[both]).mean() > 0.995
 
 
+def test_flash_tri_resident_matches_uncut():
+    """Resident-table compacted sweep == plain flash sweep, seeded and
+    unseeded. Seeded lanes where no triangle beats the seed return exactly
+    the seed (caller tie-rule contract)."""
+    scene = triangles(1.0)
+    rng = np.random.default_rng(11)
+    n = 2048
+    ro = V3(
+        jnp.asarray(rng.uniform(50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-600, 500, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+    assert flash.resident_ok(
+        flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
+    )
+    t_ref, i_ref = flash.flash_tri_hit(coeffs, ro, rd, inside, ix.TMIN,
+                                       interpret=True)
+    cull = flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
+    t_r, i_r = flash.flash_tri_hit_resident(
+        cull, ro, rd, inside, ix.TMIN, interpret=True
+    )
+    t_ref_np, t_r_np = np.asarray(t_ref), np.asarray(t_r)
+    hit_ref, hit_r = t_ref_np < 1e38, t_r_np < 1e38
+    assert (hit_ref == hit_r).all()
+    both = hit_ref & hit_r
+    np.testing.assert_array_equal(t_r_np[both], t_ref_np[both])
+    np.testing.assert_array_equal(np.asarray(i_r)[both],
+                                  np.asarray(i_ref)[both])
+
+    # seeded: the seed prunes; triangle wins must still be exact
+    seed = jnp.where(
+        jnp.asarray(rng.uniform(size=n) < 0.5), jnp.float32(400.0),
+        jnp.float32(flash.INF),
+    )
+    t_s, _ = flash.flash_tri_hit_resident(
+        cull, ro, rd, inside, ix.TMIN, seed, interpret=True
+    )
+    t_s_np = np.asarray(t_s)
+    better = t_ref_np < np.asarray(seed)
+    np.testing.assert_array_equal(t_s_np[better], t_ref_np[better])
+    np.testing.assert_array_equal(t_s_np[~better], np.asarray(seed)[~better])
+
+
 def test_tri_cull_build_covers_all_triangles():
     """Every active triangle lands in exactly one cluster, inside its
     cluster's AABB."""
@@ -298,11 +349,14 @@ def test_scene_hit_with_culled_accel_matches_plain():
     coeffs = fl.tri_coefficients(m, u, v, scene.tri_active)
     accel = {"tri_cull": fl.tri_cull_build(m, u, v, scene.tri_active, coeffs)}
     orig = fl.flash_tri_hit_culled
+    orig_res = fl.flash_tri_hit_resident
     fl.flash_tri_hit_culled = partial(orig, interpret=True)
+    fl.flash_tri_hit_resident = partial(orig_res, interpret=True)
     try:
         rec1 = ix.scene_hit(scene, rays, accel=accel)
     finally:
         fl.flash_tri_hit_culled = orig
+        fl.flash_tri_hit_resident = orig_res
     agree = np.asarray(rec0.hit) == np.asarray(rec1.hit)
     assert agree.mean() > 0.99
     both = np.asarray(rec0.hit) & np.asarray(rec1.hit)
