@@ -359,16 +359,26 @@ def _spread3(x):
     return x
 
 
-def tri_cull_build(m: V3, u: V3, v: V3, active, coeffs, block: int = TRI_BLOCK):
+def tri_cull_build(m: V3, u: V3, v: V3, active, coeffs,
+                   block: int | None = None):
     """Morton-order triangles into clusters of `block` with AABBs.
 
     coeffs: the 4 (T, 16) tables from tri_coefficients (UNpermuted).
     Returns (cds (4 x (Tpad,16) permuted+padded), bounds (8, NC) f32
-    [lo3, hi3, pad2], orig_of (Tpad,) i32 permuted-row -> original index).
-    Inactive triangles sort last, get zero coefficients (never valid) and
-    inverted AABB contributions (never gate a cluster in).
+    [lo3, hi3, pad2], orig_of (Tpad,) i32 permuted-row -> original index,
+    cstack_t (16, NC*4*block) transposed stacked table for the streamed
+    kernel). Inactive triangles sort last, get zero coefficients (never
+    valid) and inverted AABB contributions (never gate a cluster in).
+    block=None picks the smallest power of two keeping NC <= 512: the
+    prefetched per-ray-block cluster lists live in SMEM (1 MB on v5e), so
+    NC x ray-blocks is budget-bound; cluster size is the BVH leaf-size
+    tradeoff.
     """
     t_count = m.x.shape[0]
+    if block is None:
+        block = TRI_BLOCK
+        while t_count > 512 * block:
+            block *= 2
     act = active.astype(bool)
     cen = V3(m.x + (u.x + v.x) / 3.0, m.y + (u.y + v.y) / 3.0,
              m.z + (u.z + v.z) / 3.0)
@@ -437,7 +447,16 @@ def tri_cull_build(m: V3, u: V3, v: V3, active, coeffs, block: int = TRI_BLOCK):
         keyf = jnp.where(jnp.isfinite(keyf), keyf, jnp.float32(INF))
         orders.append(jnp.argsort(keyf).astype(jnp.int32))
     cl_ord = jnp.stack(orders, axis=0)  # (8, NC)
-    return tuple(cds), bounds, orig_of, cl_ord
+
+    # (16, NC*4*block) TRANSPOSED stacked table for the streamed kernel:
+    # per cluster, det/uu/vv/tn blocks along the lane axis so one
+    # 128-aligned DMA fetches the whole cluster. Built ONCE here — building
+    # it per call would re-run the copy every bounce iteration inside the
+    # integrator's while_loop (XLA does not hoist it out).
+    cstack_t = jnp.concatenate(
+        [c.reshape(nc, block, NUM_FEATURES) for c in cds], axis=1
+    ).reshape(nc * 4 * block, NUM_FEATURES).T
+    return tuple(cds), bounds, orig_of, cl_ord, cstack_t
 
 
 def _culled_kernel(oct_ref, ord_ref, bnd_ref, cdet_ref, cuu_ref, cvv_ref,
@@ -510,9 +529,13 @@ def _culled_kernel(oct_ref, ord_ref, bnd_ref, cdet_ref, cuu_ref, cvv_ref,
         i_out_ref[:] = best_i_ref[:]
 
 
-def _ray_sort_key(ro: V3, rd: V3, bounds):
+def _ray_sort_key(ro: V3, rd: V3, bounds, dir_key: bool = False):
     """(N,) u32 coherence key: direction octant (3 bits) then origin cell
-    (Morton, 5 bits/axis over the scene bbox)."""
+    (Morton, 5 bits/axis over the scene bbox). With `dir_key`, 6 bits of
+    intra-octant direction (|d| components quantized 2 bits each, Morton)
+    are inserted above the origin bits — bounce rays from nearby surface
+    points but scattered directions then land in different blocks, which
+    tightens each block's compacted cluster union in the resident sweep."""
     lo = jnp.min(bounds[0:3, :], axis=1)
     hi = jnp.max(bounds[3:6, :], axis=1)
 
@@ -530,7 +553,20 @@ def _ray_sort_key(ro: V3, rd: V3, bounds):
         | (_spread3(q(ro.y, 1)) << jnp.uint32(1))
         | _spread3(q(ro.z, 2))
     )
-    return (oct_ << jnp.uint32(15)) | (morton & jnp.uint32(0x7FFF))
+    key = (oct_ << jnp.uint32(15)) | (morton & jnp.uint32(0x7FFF))
+    if dir_key:
+        def qd(c):
+            t = jnp.clip(jnp.abs(c), 0.0, 0.999999)
+            return (t * 4.0).astype(jnp.uint32)
+
+        dirm = (
+            (_spread3(qd(rd.x)) << jnp.uint32(2))
+            | (_spread3(qd(rd.y)) << jnp.uint32(1))
+            | _spread3(qd(rd.z))
+        ) & jnp.uint32(0x3F)
+        key = (oct_ << jnp.uint32(21)) | (dirm << jnp.uint32(15)) \
+            | (morton & jnp.uint32(0x7FFF))
+    return key
 
 
 @partial(jax.jit, static_argnames=("interpret", "sort_rays"))
@@ -553,7 +589,7 @@ def flash_tri_hit_culled(cull, ro: V3, rd: V3, inside, tmin, t_seed=None, *,
     with a tie rule that prefers the seeding type (intersect.scene_hit's
     sphere-then-rect-then-tri order does).
     """
-    cds, bounds, orig_of, cl_ord = cull
+    cds, bounds, orig_of, cl_ord = cull[:4]
     n = ro.x.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     inside_f = (inside > 0).astype(jnp.float32)
@@ -575,13 +611,14 @@ def flash_tri_hit_culled(cull, ro: V3, rd: V3, inside, tmin, t_seed=None, *,
     seedp = _pad_to(sseed[None, :], RAY_BLOCK, 1, INF)
     n_pad = f.shape[1]
     t_pad = cds[0].shape[0]
-    grid = (n_pad // RAY_BLOCK, t_pad // TRI_BLOCK)
+    tri_block = t_pad // bounds.shape[1]
+    grid = (n_pad // RAY_BLOCK, t_pad // tri_block)
     # per-ray-block octant (of its first ray) selects the cluster order row;
     # len == n_pad // RAY_BLOCK since n_pad = ceil(n / RAY_BLOCK) * RAY_BLOCK
     oct_blk = (skey[::RAY_BLOCK] >> jnp.uint32(15)).astype(jnp.int32)
 
     c_spec = pl.BlockSpec(
-        (TRI_BLOCK, NUM_FEATURES),
+        (tri_block, NUM_FEATURES),
         lambda i, j, oct_r, ord_r: (ord_r[oct_r[i], j], 0),
         memory_space=pltpu.VMEM,
     )
@@ -655,8 +692,8 @@ def resident_ok(cull) -> bool:
     return 4 * cds[0].shape[0] * NUM_FEATURES * 4 <= RESIDENT_MAX_COEFF_BYTES
 
 
-def _resident_kernel(cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref, cvv_ref,
-                     ctn_ref, f_ref, inside_ref, seed_ref, tmin_ref,
+def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
+                     cvv_ref, ctn_ref, f_ref, inside_ref, seed_ref, tmin_ref,
                      t_out_ref, i_out_ref):
     i = pl.program_id(0)
     f = f_ref[:]  # (16, NB)
@@ -674,11 +711,11 @@ def _resident_kernel(cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref, cvv_ref,
 
     def body(c):
         s, best_t, best_i = c
-        base = cl_ref[i, s] * TRI_BLOCK
-        cdet = cdet_ref[pl.ds(base, TRI_BLOCK), :]
-        cuu = cuu_ref[pl.ds(base, TRI_BLOCK), :]
-        cvv = cvv_ref[pl.ds(base, TRI_BLOCK), :]
-        ctn = ctn_ref[pl.ds(base, TRI_BLOCK), :]
+        base = cl_ref[i, s] * tri_block
+        cdet = cdet_ref[pl.ds(base, tri_block), :]
+        cuu = cuu_ref[pl.ds(base, tri_block), :]
+        cvv = cvv_ref[pl.ds(base, tri_block), :]
+        ctn = ctn_ref[pl.ds(base, tri_block), :]
         det = jnp.dot(cdet, f, preferred_element_type=jnp.float32, precision=hi)
         uu = jnp.dot(cuu, f, preferred_element_type=jnp.float32, precision=hi)
         vv = jnp.dot(cvv, f, preferred_element_type=jnp.float32, precision=hi)
@@ -716,55 +753,44 @@ def _resident_kernel(cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref, cvv_ref,
     i_out_ref[:] = bi
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key"))
 def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
-                           *, interpret: bool = False):
+                           *, ray_block: int = RAY_BLOCK,
+                           dir_key: bool = False, interpret: bool = False):
     """Closest triangle hit, resident-table compacted sweep.
 
     Same contract as flash_tri_hit_culled (sorted rays, original-index
     results, optional per-lane `t_seed` from other primitive types with the
-    caller's tie rule). Requires resident_ok(cull).
+    caller's tie rule). Requires resident_ok(cull). `ray_block` (lanes per
+    compacted cluster list) and `dir_key` (direction bits in the coherence
+    sort) trade per-block divergence against grid overhead — defaults from
+    the on-chip sweep (STATUS.md round 2).
     """
-    cds, bounds, orig_of, cl_ord = cull
+    cds, bounds, orig_of, cl_ord = cull[:4]
     del cl_ord  # order is per-block front-to-back here, not per-octant
+    nc = bounds.shape[1]
+    tri_block = cds[0].shape[0] // nc
     n = ro.x.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     inside_f = (inside > 0).astype(jnp.float32)
     seed = jnp.full((n,), INF) if t_seed is None else t_seed
-    key = _ray_sort_key(ro, rd, bounds)
+    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key)
     (skey, rox, roy, roz, rdx, rdy, rdz, insf, sseed, back) = jax.lax.sort(
         (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota),
         num_keys=1,
     )
 
     f = _pad_to(ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz)),
-                RAY_BLOCK, 1, 0.0)
-    insp = _pad_to(insf[None, :], RAY_BLOCK, 1, 0.0)
-    seedp = _pad_to(sseed[None, :], RAY_BLOCK, 1, INF)
+                ray_block, 1, 0.0)
+    insp = _pad_to(insf[None, :], ray_block, 1, 0.0)
+    seedp = _pad_to(sseed[None, :], ray_block, 1, INF)
     n_pad = f.shape[1]
-    nb = n_pad // RAY_BLOCK
+    nb = n_pad // ray_block
     nc = bounds.shape[1]
 
-    # ---- XLA pre-pass: per-(ray, cluster) slab test -> per-block compacted
-    # front-to-back cluster lists. A cluster is listed only if SOME lane
-    # both enters its AABB (strict aabb.h:45-76 slab semantics) and does so
-    # nearer than that lane's seed. Padded lanes (f == 0) produce NaN slab
-    # distances and gate nothing in.
-    tn = jnp.full((n_pad, nc), -INF)
-    tf = jnp.full((n_pad, nc), INF)
-    for a in range(3):
-        ro_a = f[1 + a, :][:, None]
-        ird_a = (1.0 / f[4 + a, :])[:, None]
-        t0a = (bounds[a][None, :] - ro_a) * ird_a
-        t1a = (bounds[3 + a][None, :] - ro_a) * ird_a
-        tn = jnp.maximum(tn, jnp.minimum(t0a, t1a))
-        tf = jnp.minimum(tf, jnp.maximum(t0a, t1a))
-    pass_lane = (tf > jnp.maximum(tn, tmin)) & (tn < seedp[0][:, None])
-    tn_eff = jnp.where(pass_lane, tn, INF)  # (n_pad, nc)
-    tn_min = tn_eff.reshape(nb, RAY_BLOCK, nc).min(axis=1)  # (nb, nc)
-    count = (tn_min < INF / 2).sum(axis=1).astype(jnp.int32)  # (nb,)
-    order = jnp.argsort(tn_min, axis=1).astype(jnp.int32)  # front-to-back
-    tn_sorted = jnp.take_along_axis(tn_min, order, axis=1)
+    # XLA pre-pass: per-block compacted front-to-back cluster lists
+    order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
+                                             ray_block)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cl_list, count, tn_sorted
@@ -774,23 +800,23 @@ def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_FEATURES, RAY_BLOCK),
+            pl.BlockSpec((NUM_FEATURES, ray_block),
                          lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK), lambda i, *_: (0, i),
+            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
     t_out, i_out = pl.pallas_call(
-        _resident_kernel,
+        partial(_resident_kernel, tri_block),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
@@ -801,6 +827,474 @@ def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
       seedp, jnp.full((1,), tmin, jnp.float32))
     t_s = t_out[0, :n]
     idx_s = jnp.take(orig_of, i_out[0, :n])  # permuted -> original numbering
+    _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
+    return t_fin, idx_fin
+
+
+# ---------------------------------------------------------------------------
+# Streamed compacted sweep: same per-block compacted front-to-back cluster
+# lists as the resident kernel, but the coefficient tables stay WHOLE in
+# HBM and each visited cluster's 4 blocks are DMA'd into a double-buffered
+# VMEM scratch inside the while_loop (copy for cluster s+1 overlaps the
+# MXU/VPU work on cluster s). This removes the resident kernel's VMEM
+# table limit: scenes are bounded by HBM (a 1M-triangle table is 256 MB),
+# and per-ray work stays proportional to geometrically-relevant clusters.
+# The slab pre-pass is chunked along the cluster axis so its O(rays x
+# clusters) intermediates stay bounded at any scene size.
+# ---------------------------------------------------------------------------
+
+STREAM_CHUNK_COLS = 256  # pre-pass cluster-column chunk (bounds peak memory)
+
+
+def _compact_lists(bounds, f, seedp, tmin, ray_block):
+    """Chunked lane-exact slab pre-pass -> per-block compacted front-to-back
+    cluster lists (order, count, tn_sorted), each (nb, nc)/(nb,).
+
+    Works for any primitive kind whose feature matrix keeps ro in rows 1-3
+    and rd in rows 4-6 (true for both tri and sphere features). A cluster is
+    listed for a ray block only if SOME lane both enters its AABB (strict
+    aabb.h:45-76 slab semantics) and does so nearer than that lane's seed.
+    Padded lanes (f == 0) produce NaN slab distances and gate nothing in.
+    Chunking the cluster axis bounds the O(rays x clusters) intermediates
+    at any scene size."""
+    nc = bounds.shape[1]
+    n_pad = f.shape[1]
+    nb = n_pad // ray_block
+    tn_min_chunks = []
+    for c0 in range(0, nc, STREAM_CHUNK_COLS):
+        bsl = bounds[:, c0 : c0 + STREAM_CHUNK_COLS]
+        ck = bsl.shape[1]
+        tn = jnp.full((n_pad, ck), -INF)
+        tf = jnp.full((n_pad, ck), INF)
+        for a in range(3):
+            ro_a = f[1 + a, :][:, None]
+            ird_a = (1.0 / f[4 + a, :])[:, None]
+            t0a = (bsl[a][None, :] - ro_a) * ird_a
+            t1a = (bsl[3 + a][None, :] - ro_a) * ird_a
+            tn = jnp.maximum(tn, jnp.minimum(t0a, t1a))
+            tf = jnp.minimum(tf, jnp.maximum(t0a, t1a))
+        pass_lane = (tf > jnp.maximum(tn, tmin)) & (tn < seedp[0][:, None])
+        tn_eff = jnp.where(pass_lane, tn, INF)
+        tn_min_chunks.append(tn_eff.reshape(nb, ray_block, ck).min(axis=1))
+    tn_min = jnp.concatenate(tn_min_chunks, axis=1)  # (nb, nc)
+    count = (tn_min < INF / 2).sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(tn_min, axis=1).astype(jnp.int32)  # front-to-back
+    tn_sorted = jnp.take_along_axis(tn_min, order, axis=1)
+    return order, count, tn_sorted
+
+
+def _streamed_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cstack_hbm, f_ref,
+                     inside_ref, seed_ref, tmin_ref, t_out_ref, i_out_ref,
+                     buf_ref, sem_ref):
+    i = pl.program_id(0)
+    f = f_ref[:]  # (16, NB)
+    inside = inside_ref[:]
+    tmin = tmin_ref[0]
+    cnt = cnt_ref[i]
+    hi = _PRECISION
+    rows = 4 * tri_block
+
+    def dma(slot, s):
+        # cluster s's stacked det/uu/vv/tn COLUMNS (table stored transposed
+        # (16, NC*4*tb) so the DMA slices the 128-aligned lane axis),
+        # HBM -> VMEM slot
+        return pltpu.make_async_copy(
+            cstack_hbm.at[:, pl.ds(cl_ref[i, s] * rows, rows)],
+            buf_ref.at[slot], sem_ref.at[slot],
+        )
+
+    @pl.when(cnt > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(c):
+        s, best_t, _ = c
+        return (s < cnt) & (tnm_ref[i, s] < jnp.max(best_t))
+
+    def body(c):
+        s, best_t, best_i = c
+        slot = jax.lax.rem(s, jnp.int32(2))
+
+        @pl.when(s + 1 < cnt)
+        def _():
+            dma(1 - slot, s + 1).start()
+
+        dma(slot, s).wait()
+        blk = buf_ref[slot]  # (16, 4*tb) transposed cluster block
+        res = jax.lax.dot_general(
+            blk, f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (4*tb, NB)
+        det = res[0 * tri_block : 1 * tri_block]
+        uu = res[1 * tri_block : 2 * tri_block]
+        vv = res[2 * tri_block : 3 * tri_block]
+        tn = res[3 * tri_block : 4 * tri_block]
+
+        sign = jnp.where((inside > 0.0) & (det < 0.0), -1.0, 1.0)
+        sdet = det * sign
+        suu = uu * sign
+        svv = vv * sign
+        t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+        valid = (
+            (sdet >= TRI_EPS)
+            & (suu >= 0.0) & (suu <= sdet)
+            & (svv >= 0.0) & (suu + svv <= sdet)
+            & (t >= tmin)
+        )
+        cand = jnp.where(valid, t, INF)
+        local_min = jnp.min(cand, axis=0, keepdims=True)
+        local_arg = (
+            jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :]
+            + cl_ref[i, s] * tri_block
+        )
+        better = local_min < best_t
+        return (
+            s + 1,
+            jnp.where(better, local_min, best_t),
+            jnp.where(better, local_arg, best_i),
+        )
+
+    best_t0 = seed_ref[:]
+    best_i0 = jnp.zeros(best_t0.shape, jnp.int32)
+    k, bt, bi = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_t0, best_i0)
+    )
+
+    # drain: when the front-to-back break fired at cluster k, the copy for
+    # k (warmup or prefetch) is still in flight into slot k%2 — wait it out
+    # so the next grid step can't race the scratch buffer
+    @pl.when((cnt > 0) & (k < cnt))
+    def _():
+        dma(jax.lax.rem(k, jnp.int32(2)), k).wait()
+
+    t_out_ref[:] = bt
+    i_out_ref[:] = bi
+
+
+@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key"))
+def flash_tri_hit_streamed(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
+                           *, ray_block: int = RAY_BLOCK,
+                           dir_key: bool = False, interpret: bool = False):
+    """Closest triangle hit, HBM-streamed compacted sweep (any scene size).
+
+    Same contract and exactness as flash_tri_hit_resident; use when the
+    coefficient tables exceed the resident VMEM budget (resident_ok False).
+    """
+    cds, bounds, orig_of, cl_ord, cstack = cull
+    del cds, cl_ord
+    nc = bounds.shape[1]
+    tri_block = cstack.shape[1] // (4 * nc)
+
+    n = ro.x.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inside_f = (inside > 0).astype(jnp.float32)
+    seed = jnp.full((n,), INF) if t_seed is None else t_seed
+    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key)
+    (skey, rox, roy, roz, rdx, rdy, rdz, insf, sseed, back) = jax.lax.sort(
+        (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota),
+        num_keys=1,
+    )
+
+    f_all = _pad_to(ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz)),
+                    ray_block, 1, 0.0)
+    insp_all = _pad_to(insf[None, :], ray_block, 1, 0.0)
+    seedp_all = _pad_to(sseed[None, :], ray_block, 1, INF)
+    n_pad = f_all.shape[1]
+
+    # rays are processed in chunks of <=128 blocks per pallas_call: the
+    # prefetched (nb, NC) cluster lists live in SMEM (1 MB on v5e), so
+    # nb x NC is budget-bound, not ray count
+    chunk = 128 * ray_block
+    t_parts, i_parts = [], []
+    for r0 in range(0, n_pad, chunk):
+        f = f_all[:, r0 : r0 + chunk]
+        insp = insp_all[:, r0 : r0 + chunk]
+        seedp = seedp_all[:, r0 : r0 + chunk]
+        nb = f.shape[1] // ray_block
+        order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
+                                                 ray_block)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # cl_list, count, tn_sorted
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # cstack stays in HBM
+                pl.BlockSpec((NUM_FEATURES, ray_block),
+                             lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, NUM_FEATURES, 4 * tri_block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        t_out, i_out = pl.pallas_call(
+            partial(_streamed_kernel, tri_block),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, f.shape[1]), jnp.float32),
+                jax.ShapeDtypeStruct((1, f.shape[1]), jnp.int32),
+            ],
+            interpret=interpret,
+        )(order, count, tn_sorted, cstack, f, insp, seedp,
+          jnp.full((1,), tmin, jnp.float32))
+        t_parts.append(t_out[0])
+        i_parts.append(i_out[0])
+    t_s = jnp.concatenate(t_parts)[:n]
+    idx_s = jnp.take(orig_of, jnp.concatenate(i_parts)[:n])
+    _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
+    return t_fin, idx_fin
+
+
+# ---------------------------------------------------------------------------
+# Sphere cluster culling: the same compacted-list streaming design applied
+# to the sphere quadratic sweep. This is what makes the reference's BVH
+# scaling table (scene.cpp:109-113, random_scene up to 1M spheres) reachable
+# on TPU: per-ray MXU work tracks geometrically-relevant clusters instead
+# of total sphere count.
+# ---------------------------------------------------------------------------
+
+SPH_CULL_BLOCK = 128
+
+
+def sph_cull_build(scene, coeffs, block: int | None = None):
+    """Morton-order spheres into clusters of `block` with AABBs.
+
+    coeffs: (cb, cc) from sphere_coefficients (UNpermuted). Sphere AABBs
+    span both motion endpoints (sphere.h bounding over [c0, c1]) with
+    half-width |r| (negative radius = hollow shell, same bounds). Returns
+    (cstack (SPH_FEATURES, NC*2*block) permuted transposed table,
+    bounds (8, NC), orig_of (Spad,)). Inactive spheres sort last, keep
+    their never-hit coefficients, and contribute inverted AABBs.
+    block=None picks the smallest power of two keeping NC <= 512 (the
+    prefetched per-ray-block cluster lists live in SMEM, which bounds NC;
+    cluster size is the BVH leaf-size tradeoff).
+    """
+    cb, cc = coeffs
+    s_count = scene.sph_radius.shape[0]
+    if block is None:
+        block = SPH_CULL_BLOCK
+        while s_count > 512 * block:
+            block *= 2
+    act = scene.sph_active.astype(bool)
+    c0x, c0y, c0z = (scene.sph_c0[:, a] for a in range(3))
+    c1x, c1y, c1z = (scene.sph_c1[:, a] for a in range(3))
+    mov = scene.sph_moving > 0
+    r_abs = jnp.abs(scene.sph_radius)
+    big = jnp.float32(INF)
+
+    cen = V3((c0x + jnp.where(mov, c1x, c0x)) * 0.5,
+             (c0y + jnp.where(mov, c1y, c0y)) * 0.5,
+             (c0z + jnp.where(mov, c1z, c0z)) * 0.5)
+
+    def qaxis(c):
+        lo = jnp.min(jnp.where(act, c, big))
+        hi = jnp.max(jnp.where(act, c, -big))
+        tq = jnp.clip((c - lo) / jnp.maximum(hi - lo, 1e-30), 0.0, 0.999999)
+        return (tq * 1024.0).astype(jnp.uint32)
+
+    key = (
+        (_spread3(qaxis(cen.x)) << jnp.uint32(2))
+        | (_spread3(qaxis(cen.y)) << jnp.uint32(1))
+        | _spread3(qaxis(cen.z))
+    )
+    key = jnp.where(act, key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key).astype(jnp.int32)
+
+    rem = (-s_count) % block
+    orig_of = (jnp.concatenate([perm, jnp.zeros((rem,), jnp.int32)])
+               if rem else perm)
+
+    cbp = _pad_to(jnp.take(cb, perm, axis=0), block, 0, 0.0)
+    ccp = _pad_to(jnp.take(cc, perm, axis=0), block, 0, 0.0)
+    nc = cbp.shape[0] // block
+    # (F, NC*2*block) TRANSPOSED for 128-aligned lane-axis DMA slices
+    cstack = jnp.concatenate(
+        [cbp.reshape(nc, block, SPH_FEATURES),
+         ccp.reshape(nc, block, SPH_FEATURES)], axis=1
+    ).reshape(nc * 2 * block, SPH_FEATURES).T
+
+    los, his = [], []
+    for clo, chi in ((c0x, c1x), (c0y, c1y), (c0z, c1z)):
+        lo_c = jnp.minimum(clo, jnp.where(mov, chi, clo)) - r_abs
+        hi_c = jnp.maximum(clo, jnp.where(mov, chi, clo)) + r_abs
+        lo_p = _pad_to(jnp.take(jnp.where(act, lo_c, big), perm), block, 0, big)
+        hi_p = _pad_to(jnp.take(jnp.where(act, hi_c, -big), perm), block, 0, -big)
+        los.append(jnp.min(lo_p.reshape(nc, block), axis=1))
+        his.append(jnp.max(hi_p.reshape(nc, block), axis=1))
+    zero = jnp.zeros((nc,), jnp.float32)
+    bounds = jnp.stack(los + his + [zero, zero], axis=0)  # (8, NC)
+    return cstack, bounds, orig_of
+
+
+def _sph_streamed_kernel(sph_block, cl_ref, cnt_ref, tnm_ref, cstack_hbm,
+                         f_ref, inside_ref, seed_ref, tmin_ref,
+                         t_out_ref, i_out_ref, buf_ref, sem_ref):
+    i = pl.program_id(0)
+    f = f_ref[:]  # (SPH_FEATURES, NB)
+    inside = inside_ref[:]
+    tmin = tmin_ref[0]
+    cnt = cnt_ref[i]
+    hi = _PRECISION
+    rows = 2 * sph_block
+
+    def dma(slot, s):
+        # transposed (F, NC*2*sb) table: DMA slices the 128-aligned lane axis
+        return pltpu.make_async_copy(
+            cstack_hbm.at[:, pl.ds(cl_ref[i, s] * rows, rows)],
+            buf_ref.at[slot], sem_ref.at[slot],
+        )
+
+    @pl.when(cnt > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(c):
+        s, best_t, _ = c
+        return (s < cnt) & (tnm_ref[i, s] < jnp.max(best_t))
+
+    def body(c):
+        s, best_t, best_i = c
+        slot = jax.lax.rem(s, jnp.int32(2))
+
+        @pl.when(s + 1 < cnt)
+        def _():
+            dma(1 - slot, s + 1).start()
+
+        dma(slot, s).wait()
+        blk = buf_ref[slot]  # (F, 2*sb) transposed cluster block
+        res = jax.lax.dot_general(
+            blk, f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (2*sb, NB)
+        b = res[0 * sph_block : 1 * sph_block]
+        cq = res[1 * sph_block : 2 * sph_block]
+
+        disc = b * b - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_front = -b - sq
+        t_back = -b + sq
+        ok = disc > 0.0
+        front_ok = ok & (t_front > tmin)
+        back_ok = ok & (inside > 0.0) & (t_back > tmin)
+        cand = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
+        local_min = jnp.min(cand, axis=0, keepdims=True)
+        local_arg = (
+            jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :]
+            + cl_ref[i, s] * sph_block
+        )
+        better = local_min < best_t
+        return (
+            s + 1,
+            jnp.where(better, local_min, best_t),
+            jnp.where(better, local_arg, best_i),
+        )
+
+    best_t0 = seed_ref[:]
+    best_i0 = jnp.zeros(best_t0.shape, jnp.int32)
+    k, bt, bi = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_t0, best_i0)
+    )
+
+    @pl.when((cnt > 0) & (k < cnt))
+    def _():
+        dma(jax.lax.rem(k, jnp.int32(2)), k).wait()
+
+    t_out_ref[:] = bt
+    i_out_ref[:] = bi
+
+
+@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key"))
+def flash_sphere_hit_streamed(cull, ro: V3, rd: V3, time, inside, tmin,
+                              t_seed=None, *, ray_block: int = RAY_BLOCK,
+                              dir_key: bool = False, interpret: bool = False):
+    """Closest sphere hit, HBM-streamed compacted cluster sweep.
+
+    Exact same results as flash_sphere_hit (front root; back root only when
+    inside — sphere.cpp:33-43), at per-ray cost proportional to relevant
+    clusters. Scales to reference BVH-table sizes (scene.cpp:109-113)."""
+    cstack, bounds, orig_of = cull
+    nc = bounds.shape[1]
+    sph_block = cstack.shape[1] // (2 * nc)
+
+    n = ro.x.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inside_f = (inside > 0).astype(jnp.float32)
+    seed = jnp.full((n,), INF) if t_seed is None else t_seed
+    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key)
+    (skey, rox, roy, roz, rdx, rdy, rdz, stime, insf, sseed, back) = \
+        jax.lax.sort(
+            (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, time, inside_f, seed,
+             iota),
+            num_keys=1,
+        )
+
+    f_all = _pad_to(
+        sphere_ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz), stime),
+        ray_block, 1, 0.0,
+    )
+    insp_all = _pad_to(insf[None, :], ray_block, 1, 0.0)
+    seedp_all = _pad_to(sseed[None, :], ray_block, 1, INF)
+    n_pad = f_all.shape[1]
+
+    # ray chunks of <=128 blocks per pallas_call (SMEM list budget; see
+    # flash_tri_hit_streamed)
+    chunk = 128 * ray_block
+    t_parts, i_parts = [], []
+    for r0 in range(0, n_pad, chunk):
+        f = f_all[:, r0 : r0 + chunk]
+        insp = insp_all[:, r0 : r0 + chunk]
+        seedp = seedp_all[:, r0 : r0 + chunk]
+        nb = f.shape[1] // ray_block
+        order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
+                                                 ray_block)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # cstack stays in HBM
+                pl.BlockSpec((SPH_FEATURES, ray_block),
+                             lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, SPH_FEATURES, 2 * sph_block), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        t_out, i_out = pl.pallas_call(
+            partial(_sph_streamed_kernel, sph_block),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, f.shape[1]), jnp.float32),
+                jax.ShapeDtypeStruct((1, f.shape[1]), jnp.int32),
+            ],
+            interpret=interpret,
+        )(order, count, tn_sorted, cstack, f, insp, seedp,
+          jnp.full((1,), tmin, jnp.float32))
+        t_parts.append(t_out[0])
+        i_parts.append(i_out[0])
+    t_s = jnp.concatenate(t_parts)[:n]
+    idx_s = jnp.take(orig_of, jnp.concatenate(i_parts)[:n])
     _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
     return t_fin, idx_fin
 

@@ -483,6 +483,7 @@ def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
 FLASH_MIN_TRIS = 64  # below this the XLA sweep beats kernel launch overhead
 FLASH_MIN_SPHERES = 64
 FLASH_CULL_MIN_TRIS = 1024  # below this one cluster covers the scene anyway
+FLASH_CULL_MIN_SPHERES = 4096  # dense sphere sweep wins below this
 
 
 def make_accel(scene: T.SceneData, differentiable: bool = False):
@@ -516,7 +517,11 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
                 m, u, v, scene.tri_active, coeffs
             )
     if scene.n_spheres >= FLASH_MIN_SPHERES:
-        accel["sph" + suffix] = flash.sphere_coefficients(scene)
+        coeffs_s = flash.sphere_coefficients(scene)
+        if differentiable or scene.n_spheres < FLASH_CULL_MIN_SPHERES:
+            accel["sph" + suffix] = coeffs_s
+        else:
+            accel["sph_cull"] = flash.sph_cull_build(scene, coeffs_s)
     # fused Pallas Perlin-turbulence (forward-only: the AD path keeps the
     # differentiable XLA texture path)
     if scene.has_perlin and not scene.fast_perlin and not differentiable:
@@ -543,12 +548,19 @@ def scene_hit(
     tmax0 = jnp.full((n,), INF)
 
     accel = accel or {}
-    if "sph" in accel or "sph_d" in accel:
+    if "sph" in accel or "sph_d" in accel or "sph_cull" in accel:
         from miniraytracer_tpu.ops import flash
 
         if "sph_d" in accel:
             t_s, i_s = flash.flash_sphere_hit_d(
                 accel["sph_d"], rays.ro, rays.rd, rays.time, rays.inside, tmin
+            )
+        elif "sph_cull" in accel:
+            # compacted Morton-cluster sweep: the TPU equivalent of the
+            # reference's sphere BVH (scene.cpp:109-113 scaling table)
+            t_s, i_s = flash.flash_sphere_hit_streamed(
+                accel["sph_cull"], rays.ro, rays.rd, rays.time, rays.inside,
+                tmin,
             )
         else:
             t_s, i_s = flash.flash_sphere_hit(
@@ -581,7 +593,7 @@ def scene_hit(
                     jnp.minimum(t_s, t_r),
                 )
             else:
-                t_t, i_t = flash.flash_tri_hit_culled(
+                t_t, i_t = flash.flash_tri_hit_streamed(
                     accel["tri_cull"], rays.ro, rays.rd, rays.inside, tmin,
                     jnp.minimum(t_s, t_r),
                 )

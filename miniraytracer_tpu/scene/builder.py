@@ -60,6 +60,7 @@ def _roty_fwd(deg):
 class SceneBuilder:
     def __init__(self):
         self.spheres = []  # (c0, c1, t0, t1, radius, moving, mat)
+        self.sphere_bulk = []  # vectorized blocks: 7 column arrays each
         self.rects = []  # (ei, ej, ek, i0, i1, j0, j1, k, sign, mat)
         self.tris = []  # (m, u, v, mn, un, vn, mat)
         self.volumes = []  # (btype, bparams[12], density, mat)
@@ -122,6 +123,26 @@ class SceneBuilder:
         c1 = np.asarray(center1, _F) if center1 is not None else c0
         self.spheres.append((c0, c1, _F(t0), _F(t1), _F(radius), _F(1.0 if moving else 0.0), int(mat)))
         return (T.PRIM_SPHERE, len(self.spheres) - 1)
+
+    def spheres_bulk(self, centers, radii, mats, centers1=None,
+                     t0=0.0, t1=0.0):
+        """Vectorized sphere addition: centers (n,3), radii (n,), mats
+        scalar or (n,) material handles. The instancing-scale construction
+        path — the reference's random_scene BVH table (scene.cpp:109-113)
+        builds up to 1M spheres, which a per-call Python loop can't do in
+        reasonable time. Bulk spheres are appended after all per-call
+        spheres at build() and cannot be used as light handles."""
+        c0 = np.asarray(centers, _F).reshape(-1, 3)
+        n = c0.shape[0]
+        r = np.broadcast_to(np.asarray(radii, _F), (n,)).copy()
+        moving = centers1 is not None and (t1 - t0) > np.finfo(_F).eps
+        c1 = (np.asarray(centers1, _F).reshape(-1, 3)
+              if centers1 is not None else c0)
+        m = np.broadcast_to(np.asarray(mats, np.int32), (n,)).copy()
+        self.sphere_bulk.append((
+            c0, c1, np.full(n, t0, _F), np.full(n, t1, _F), r,
+            np.full(n, 1.0 if moving else 0.0, _F), m,
+        ))
 
     def _rect(self, iax, jax_, kax, i0, i1, j0, j1, k, mat):
         sign = 1.0
@@ -240,6 +261,20 @@ class SceneBuilder:
             self.spheres, [v3, v3, s_, s_, s_, s_, i_],
             (np.zeros(3), np.zeros(3), 0, 0, 0, 0, 0),
         )
+        if self.sphere_bulk:
+            cols = [np.asarray(a) for a in
+                    (sc0, sc1, st0, st1, srad, smov, smat)]
+            if not self.spheres:  # drop the pad row pack() inserted
+                cols = [c[:0] for c in cols]
+            merged = [
+                np.concatenate([c] + [np.asarray(b[k], dtype=c.dtype)
+                                      for b in self.sphere_bulk], axis=0)
+                for k, c in enumerate(cols)
+            ]
+            sc0, sc1, st0, st1, srad, smov, smat = (
+                jnp.asarray(a) for a in merged
+            )
+            sact = jnp.asarray(np.ones(merged[0].shape[0], bool))
         (rei, rej, rek, ri0, ri1, rj0, rj1, rk, rsg, rmat), ract = pack(
             self.rects, [v3, v3, v3, s_, s_, s_, s_, s_, s_, i_],
             (np.eye(3)[0], np.eye(3)[1], np.eye(3)[2], 0, -1, 0, -1, 0, 1, 0),

@@ -289,6 +289,86 @@ def test_flash_tri_resident_matches_uncut():
     np.testing.assert_array_equal(t_s_np[~better], np.asarray(seed)[~better])
 
 
+def test_flash_tri_streamed_matches_uncut():
+    """HBM-streamed double-buffered sweep == plain flash sweep (exact),
+    seeded and unseeded, including the in-kernel DMA drain on early break."""
+    scene = triangles(1.0)
+    rng = np.random.default_rng(13)
+    n = 1024
+    ro = V3(
+        jnp.asarray(rng.uniform(50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-50, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-600, 500, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+    cull = flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
+    t_ref, i_ref = flash.flash_tri_hit(coeffs, ro, rd, inside, ix.TMIN,
+                                       interpret=True)
+    t_s, i_s = flash.flash_tri_hit_streamed(
+        cull, ro, rd, inside, ix.TMIN, interpret=True
+    )
+    t_ref_np, t_s_np = np.asarray(t_ref), np.asarray(t_s)
+    hit_ref, hit_s = t_ref_np < 1e38, t_s_np < 1e38
+    assert (hit_ref == hit_s).all()
+    both = hit_ref & hit_s
+    np.testing.assert_array_equal(t_s_np[both], t_ref_np[both])
+    np.testing.assert_array_equal(np.asarray(i_s)[both],
+                                  np.asarray(i_ref)[both])
+
+    seed = jnp.where(
+        jnp.asarray(rng.uniform(size=n) < 0.5), jnp.float32(400.0),
+        jnp.float32(flash.INF),
+    )
+    t_sd, _ = flash.flash_tri_hit_streamed(
+        cull, ro, rd, inside, ix.TMIN, seed, interpret=True
+    )
+    t_sd_np = np.asarray(t_sd)
+    better = t_ref_np < np.asarray(seed)
+    np.testing.assert_array_equal(t_sd_np[better], t_ref_np[better])
+    np.testing.assert_array_equal(t_sd_np[~better], np.asarray(seed)[~better])
+
+
+def test_flash_sphere_streamed_matches_dense():
+    """Sphere compacted-cluster streamed sweep == dense sphere sweep
+    (exact), on the random_spheres scene (includes moving spheres, so the
+    cluster AABBs must span both motion endpoints)."""
+    scene = random_spheres(1.0)
+    rng = np.random.default_rng(17)
+    n = 1024
+    ro = V3(
+        jnp.asarray(rng.uniform(-12, 12, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 4, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-12, 12, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+
+    coeffs = flash.sphere_coefficients(scene)
+    cull = flash.sph_cull_build(scene, coeffs)
+    t_d, i_d = flash.flash_sphere_hit(coeffs, ro, rd, time, inside, ix.TMIN,
+                                      interpret=True)
+    t_s, i_s = flash.flash_sphere_hit_streamed(
+        cull, ro, rd, time, inside, ix.TMIN, interpret=True
+    )
+    t_d_np, t_s_np = np.asarray(t_d), np.asarray(t_s)
+    hit_d, hit_s = t_d_np < 1e38, t_s_np < 1e38
+    assert hit_d.any()
+    assert (hit_d == hit_s).all()
+    both = hit_d & hit_s
+    np.testing.assert_array_equal(t_s_np[both], t_d_np[both])
+    np.testing.assert_array_equal(np.asarray(i_s)[both],
+                                  np.asarray(i_d)[both])
+
+
 def test_tri_cull_build_covers_all_triangles():
     """Every active triangle lands in exactly one cluster, inside its
     cluster's AABB."""
@@ -297,7 +377,7 @@ def test_tri_cull_build_covers_all_triangles():
     u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
     v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
     coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
-    cds, bounds, orig_of, cl_ord = flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
+    cds, bounds, orig_of, cl_ord, _cstack = flash.tri_cull_build(m, u, v, scene.tri_active, coeffs)
     # each octant's visit order is a permutation of the clusters
     co = np.asarray(cl_ord)
     for o in range(8):

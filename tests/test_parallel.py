@@ -35,6 +35,10 @@ def test_workqueue_matches_wavefront():
     d = np.abs(np.asarray(f1) - np.asarray(f2))
     # pixels without dropped samples match to reorder tolerance
     assert np.median(d) < 1e-5
+    # divergence is confined to isolated dropped-NaN/branch-threshold
+    # pixels: bound the EXTENT (<0.5% of channels) as well as the magnitude
+    # (~1 sample weight), not just the max
+    assert (d > 1e-4).mean() < 0.005
     assert d.max() < 0.5  # dropped-NaN/diverged pixels differ ~1 sample weight
 
 
