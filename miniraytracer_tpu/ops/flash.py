@@ -316,10 +316,10 @@ def _kernel(cdet_ref, cuu_ref, cvv_ref, ctn_ref, f_ref, inside_ref, tmin_ref,
     sdet = det * sign
     suu = uu * sign
     svv = vv * sign
-    t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+    t = tn / det  # 0/0 -> NaN only on invalid lanes (masked below)
     valid = (
         (sdet >= TRI_EPS)
-        & (suu >= 0.0) & (suu <= sdet)
+        & (suu >= 0.0)  # suu<=sdet implied by svv>=0 & sum bound
         & (svv >= 0.0) & (suu + svv <= sdet)
         & (t >= tmin)
     )
@@ -508,10 +508,10 @@ def _culled_kernel(oct_ref, ord_ref, bnd_ref, cdet_ref, cuu_ref, cvv_ref,
         sdet = det * sign
         suu = uu * sign
         svv = vv * sign
-        t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+        t = tn / det  # 0/0 -> NaN only on invalid lanes (masked below)
         valid = (
             (sdet >= TRI_EPS)
-            & (suu >= 0.0) & (suu <= sdet)
+            & (suu >= 0.0)  # suu<=sdet implied by svv>=0 & sum bound
             & (svv >= 0.0) & (suu + svv <= sdet)
             & (t >= tmin)
         )
@@ -529,19 +529,25 @@ def _culled_kernel(oct_ref, ord_ref, bnd_ref, cdet_ref, cuu_ref, cvv_ref,
         i_out_ref[:] = best_i_ref[:]
 
 
-def _ray_sort_key(ro: V3, rd: V3, bounds, dir_key: bool = False):
+def _ray_sort_key(ro: V3, rd: V3, bounds, dir_key: bool = False,
+                  origin_bits: int = 5):
     """(N,) u32 coherence key: direction octant (3 bits) then origin cell
-    (Morton, 5 bits/axis over the scene bbox). With `dir_key`, 6 bits of
-    intra-octant direction (|d| components quantized 2 bits each, Morton)
-    are inserted above the origin bits — bounce rays from nearby surface
-    points but scattered directions then land in different blocks, which
-    tightens each block's compacted cluster union in the resident sweep."""
+    (Morton, `origin_bits`/axis over the scene bbox — higher resolution
+    groups within-mesh interior rays, the resident sweep's worst case).
+    With `dir_key`, 6 bits of intra-octant direction (|d| components
+    quantized 2 bits each, Morton) are inserted above the origin bits —
+    bounce rays from nearby surface points but scattered directions then
+    land in different blocks, which tightens each block's compacted
+    cluster union in the resident sweep."""
     lo = jnp.min(bounds[0:3, :], axis=1)
     hi = jnp.max(bounds[3:6, :], axis=1)
+    ob = jnp.uint32(3 * origin_bits)
+    scale = float(1 << origin_bits)
+    mask = jnp.uint32((1 << (3 * origin_bits)) - 1)
 
     def q(c, a):
         t = jnp.clip((c - lo[a]) / jnp.maximum(hi[a] - lo[a], 1e-30), 0.0, 0.999999)
-        return (t * 32.0).astype(jnp.uint32)
+        return (t * scale).astype(jnp.uint32)
 
     oct_ = (
         ((rd.x < 0).astype(jnp.uint32) << jnp.uint32(2))
@@ -553,7 +559,7 @@ def _ray_sort_key(ro: V3, rd: V3, bounds, dir_key: bool = False):
         | (_spread3(q(ro.y, 1)) << jnp.uint32(1))
         | _spread3(q(ro.z, 2))
     )
-    key = (oct_ << jnp.uint32(15)) | (morton & jnp.uint32(0x7FFF))
+    key = (oct_ << ob) | (morton & mask)
     if dir_key:
         def qd(c):
             t = jnp.clip(jnp.abs(c), 0.0, 0.999999)
@@ -725,10 +731,10 @@ def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
         sdet = det * sign
         suu = uu * sign
         svv = vv * sign
-        t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+        t = tn / det  # 0/0 -> NaN only on invalid lanes (masked below)
         valid = (
             (sdet >= TRI_EPS)
-            & (suu >= 0.0) & (suu <= sdet)
+            & (suu >= 0.0)  # suu<=sdet implied by svv>=0 & sum bound
             & (svv >= 0.0) & (suu + svv <= sdet)
             & (t >= tmin)
         )
@@ -753,10 +759,12 @@ def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
     i_out_ref[:] = bi
 
 
-@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key"))
+@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key",
+                                   "origin_bits"))
 def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
                            *, ray_block: int = RAY_BLOCK,
-                           dir_key: bool = False, interpret: bool = False):
+                           dir_key: bool = False, origin_bits: int = 5,
+                           interpret: bool = False):
     """Closest triangle hit, resident-table compacted sweep.
 
     Same contract as flash_tri_hit_culled (sorted rays, original-index
@@ -774,7 +782,8 @@ def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
     iota = jnp.arange(n, dtype=jnp.int32)
     inside_f = (inside > 0).astype(jnp.float32)
     seed = jnp.full((n,), INF) if t_seed is None else t_seed
-    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key)
+    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key,
+                        origin_bits=origin_bits)
     (skey, rox, roy, roz, rdx, rdy, rdz, insf, sseed, back) = jax.lax.sort(
         (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota),
         num_keys=1,
@@ -934,10 +943,10 @@ def _streamed_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cstack_hbm, f_ref,
         sdet = det * sign
         suu = uu * sign
         svv = vv * sign
-        t = tn / jnp.where(jnp.abs(det) > TRI_EPS, det, 1.0)
+        t = tn / det  # 0/0 -> NaN only on invalid lanes (masked below)
         valid = (
             (sdet >= TRI_EPS)
-            & (suu >= 0.0) & (suu <= sdet)
+            & (suu >= 0.0)  # suu<=sdet implied by svv>=0 & sum bound
             & (svv >= 0.0) & (suu + svv <= sdet)
             & (t >= tmin)
         )
@@ -971,10 +980,12 @@ def _streamed_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cstack_hbm, f_ref,
     i_out_ref[:] = bi
 
 
-@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key"))
+@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key",
+                                   "origin_bits"))
 def flash_tri_hit_streamed(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
                            *, ray_block: int = RAY_BLOCK,
-                           dir_key: bool = False, interpret: bool = False):
+                           dir_key: bool = False, origin_bits: int = 5,
+                           interpret: bool = False):
     """Closest triangle hit, HBM-streamed compacted sweep (any scene size).
 
     Same contract and exactness as flash_tri_hit_resident; use when the
@@ -989,7 +1000,8 @@ def flash_tri_hit_streamed(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
     iota = jnp.arange(n, dtype=jnp.int32)
     inside_f = (inside > 0).astype(jnp.float32)
     seed = jnp.full((n,), INF) if t_seed is None else t_seed
-    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key)
+    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key,
+                        origin_bits=origin_bits)
     (skey, rox, roy, roz, rdx, rdy, rdz, insf, sseed, back) = jax.lax.sort(
         (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, inside_f, seed, iota),
         num_keys=1,
@@ -1213,10 +1225,12 @@ def _sph_streamed_kernel(sph_block, cl_ref, cnt_ref, tnm_ref, cstack_hbm,
     i_out_ref[:] = bi
 
 
-@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key"))
+@partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key",
+                                   "origin_bits"))
 def flash_sphere_hit_streamed(cull, ro: V3, rd: V3, time, inside, tmin,
                               t_seed=None, *, ray_block: int = RAY_BLOCK,
-                              dir_key: bool = False, interpret: bool = False):
+                              dir_key: bool = False, origin_bits: int = 5,
+                              interpret: bool = False):
     """Closest sphere hit, HBM-streamed compacted cluster sweep.
 
     Exact same results as flash_sphere_hit (front root; back root only when
@@ -1230,7 +1244,8 @@ def flash_sphere_hit_streamed(cull, ro: V3, rd: V3, time, inside, tmin,
     iota = jnp.arange(n, dtype=jnp.int32)
     inside_f = (inside > 0).astype(jnp.float32)
     seed = jnp.full((n,), INF) if t_seed is None else t_seed
-    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key)
+    key = _ray_sort_key(ro, rd, bounds, dir_key=dir_key,
+                        origin_bits=origin_bits)
     (skey, rox, roy, roz, rdx, rdy, rdz, stime, insf, sseed, back) = \
         jax.lax.sort(
             (key, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, time, inside_f, seed,
