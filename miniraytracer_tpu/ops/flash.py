@@ -799,7 +799,7 @@ def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
 
     # XLA pre-pass: per-block compacted front-to-back cluster lists
     order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
-                                             ray_block)
+                                             ray_block, interpret=interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cl_list, count, tn_sorted
@@ -855,7 +855,8 @@ def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
 STREAM_CHUNK_COLS = 256  # pre-pass cluster-column chunk (bounds peak memory)
 
 
-def _compact_lists(bounds, f, seedp, tmin, ray_block):
+def _compact_lists(bounds, f, seedp, tmin, ray_block, interpret=False):
+    del interpret  # XLA path; kept for kernel-prepass call-site compat
     """Chunked lane-exact slab pre-pass -> per-block compacted front-to-back
     cluster lists (order, count, tn_sorted), each (nb, nc)/(nb,).
 
@@ -1024,7 +1025,8 @@ def flash_tri_hit_streamed(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
         seedp = seedp_all[:, r0 : r0 + chunk]
         nb = f.shape[1] // ray_block
         order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
-                                                 ray_block)
+                                                 ray_block,
+                                                 interpret=interpret)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # cl_list, count, tn_sorted
             grid=(nb,),
@@ -1271,7 +1273,8 @@ def flash_sphere_hit_streamed(cull, ro: V3, rd: V3, time, inside, tmin,
         seedp = seedp_all[:, r0 : r0 + chunk]
         nb = f.shape[1] // ray_block
         order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
-                                                 ray_block)
+                                                 ray_block,
+                                                 interpret=interpret)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nb,),
