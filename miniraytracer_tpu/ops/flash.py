@@ -369,14 +369,14 @@ def tri_cull_build(m: V3, u: V3, v: V3, active, coeffs,
     cstack_t (16, NC*4*block) transposed stacked table for the streamed
     kernel). Inactive triangles sort last, get zero coefficients (never
     valid) and inverted AABB contributions (never gate a cluster in).
-    block=None picks the smallest power of two keeping NC <= 512: the
-    prefetched per-ray-block cluster lists live in SMEM (1 MB on v5e), so
-    NC x ray-blocks is budget-bound; cluster size is the BVH leaf-size
-    tradeoff.
+    block=None picks the smallest power of two (from 64 — the in-kernel
+    unroll sweep's winner) keeping NC <= 512: the prefetched per-ray-block
+    cluster lists live in SMEM (1 MB on v5e), so NC x ray-blocks is
+    budget-bound; cluster size is the BVH leaf-size tradeoff.
     """
     t_count = m.x.shape[0]
     if block is None:
-        block = TRI_BLOCK
+        block = 64
         while t_count > 512 * block:
             block *= 2
     act = active.astype(bool)
@@ -698,9 +698,9 @@ def resident_ok(cull) -> bool:
     return 4 * cds[0].shape[0] * NUM_FEATURES * 4 <= RESIDENT_MAX_COEFF_BYTES
 
 
-def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
-                     cvv_ref, ctn_ref, f_ref, inside_ref, seed_ref, tmin_ref,
-                     t_out_ref, i_out_ref):
+def _resident_kernel(tri_block, unroll, cl_ref, cnt_ref, tnm_ref, cdet_ref,
+                     cuu_ref, cvv_ref, ctn_ref, f_ref, inside_ref, seed_ref,
+                     tmin_ref, t_out_ref, i_out_ref):
     i = pl.program_id(0)
     f = f_ref[:]  # (16, NB)
     inside = inside_ref[:]
@@ -715,8 +715,7 @@ def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
         # remaining cluster can beat ANY lane's winner
         return (s < cnt) & (tnm_ref[i, s] < jnp.max(best_t))
 
-    def body(c):
-        s, best_t, best_i = c
+    def eval_cluster(s, best_t, best_i):
         base = cl_ref[i, s] * tri_block
         cdet = cdet_ref[pl.ds(base, tri_block), :]
         cuu = cuu_ref[pl.ds(base, tri_block), :]
@@ -745,10 +744,21 @@ def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
         )
         better = local_min < best_t
         return (
-            s + 1,
             jnp.where(better, local_min, best_t),
             jnp.where(better, local_arg, best_i),
         )
+
+    def body(c):
+        s, best_t, best_i = c
+        # unrolled pair: cluster s+1's MXU dots are independent of cluster
+        # s's VPU epilogue, so Mosaic can overlap them within one body.
+        # Odd tails re-evaluate the last cluster — idempotent for a
+        # strict-improvement min/argmin update.
+        best_t, best_i = eval_cluster(s, best_t, best_i)
+        for k in range(1, unroll):
+            sk = jnp.minimum(s + k, cnt - 1)
+            best_t, best_i = eval_cluster(sk, best_t, best_i)
+        return (s + unroll, best_t, best_i)
 
     best_t0 = seed_ref[:]
     best_i0 = jnp.zeros(best_t0.shape, jnp.int32)
@@ -760,19 +770,22 @@ def _resident_kernel(tri_block, cl_ref, cnt_ref, tnm_ref, cdet_ref, cuu_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret", "ray_block", "dir_key",
-                                   "origin_bits"))
+                                   "origin_bits", "unroll"))
 def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
-                           *, ray_block: int = RAY_BLOCK,
+                           *, ray_block: int = 256,
                            dir_key: bool = False, origin_bits: int = 5,
-                           interpret: bool = False):
+                           unroll: int = 4, interpret: bool = False):
     """Closest triangle hit, resident-table compacted sweep.
 
     Same contract as flash_tri_hit_culled (sorted rays, original-index
     results, optional per-lane `t_seed` from other primitive types with the
     caller's tie rule). Requires resident_ok(cull). `ray_block` (lanes per
-    compacted cluster list) and `dir_key` (direction bits in the coherence
-    sort) trade per-block divergence against grid overhead — defaults from
-    the on-chip sweep (STATUS.md round 2).
+    compacted cluster list), `unroll` (clusters per loop body — lets
+    Mosaic overlap cluster s+1's MXU dots with cluster s's VPU epilogue)
+    and `dir_key` trade per-block divergence against fixed overheads —
+    defaults (rb=256, u=4, with 64-triangle clusters from tri_cull_build)
+    measured 25% faster than rb=512/u=1/tb=128 on worst-case incoherent
+    rays (STATUS.md round 2).
     """
     cds, bounds, orig_of, cl_ord = cull[:4]
     del cl_ord  # order is per-block front-to-back here, not per-octant
@@ -789,53 +802,61 @@ def flash_tri_hit_resident(cull, ro: V3, rd: V3, inside, tmin, t_seed=None,
         num_keys=1,
     )
 
-    f = _pad_to(ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz)),
-                ray_block, 1, 0.0)
-    insp = _pad_to(insf[None, :], ray_block, 1, 0.0)
-    seedp = _pad_to(sseed[None, :], ray_block, 1, INF)
-    n_pad = f.shape[1]
-    nb = n_pad // ray_block
-    nc = bounds.shape[1]
+    f_all = _pad_to(ray_features(V3(rox, roy, roz), V3(rdx, rdy, rdz)),
+                    ray_block, 1, 0.0)
+    insp_all = _pad_to(insf[None, :], ray_block, 1, 0.0)
+    seedp_all = _pad_to(sseed[None, :], ray_block, 1, INF)
+    n_pad = f_all.shape[1]
 
-    # XLA pre-pass: per-block compacted front-to-back cluster lists
-    order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
-                                             ray_block, interpret=interpret)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # cl_list, count, tn_sorted
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cdet (Tpad, 16)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_FEATURES, ray_block),
-                         lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    t_out, i_out = pl.pallas_call(
-        partial(_resident_kernel, tri_block),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-        ],
-        interpret=interpret,
-    )(order, count, tn_sorted, cds[0], cds[1], cds[2], cds[3], f, insp,
-      seedp, jnp.full((1,), tmin, jnp.float32))
-    t_s = t_out[0, :n]
-    idx_s = jnp.take(orig_of, i_out[0, :n])  # permuted -> original numbering
+    # ray chunks of <=128 blocks per pallas_call: the prefetched (nb, NC)
+    # cluster lists live in SMEM (1 MB on v5e), so nb x NC is budget-bound
+    chunk = 128 * ray_block
+    t_parts, i_parts = [], []
+    for r0 in range(0, n_pad, chunk):
+        f = f_all[:, r0 : r0 + chunk]
+        insp = insp_all[:, r0 : r0 + chunk]
+        seedp = seedp_all[:, r0 : r0 + chunk]
+        nb = f.shape[1] // ray_block
+        order, count, tn_sorted = _compact_lists(bounds, f, seedp, tmin,
+                                                 ray_block,
+                                                 interpret=interpret)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # cl_list, count, tn_sorted
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # cdet (Tpad, 16)
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((NUM_FEATURES, ray_block),
+                             lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        t_out, i_out = pl.pallas_call(
+            partial(_resident_kernel, tri_block, unroll),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, f.shape[1]), jnp.float32),
+                jax.ShapeDtypeStruct((1, f.shape[1]), jnp.int32),
+            ],
+            interpret=interpret,
+        )(order, count, tn_sorted, cds[0], cds[1], cds[2], cds[3], f, insp,
+          seedp, jnp.full((1,), tmin, jnp.float32))
+        t_parts.append(t_out[0])
+        i_parts.append(i_out[0])
+    t_s = jnp.concatenate(t_parts)[:n]
+    idx_s = jnp.take(orig_of, jnp.concatenate(i_parts)[:n])
     _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
     return t_fin, idx_fin
 
@@ -856,9 +877,10 @@ STREAM_CHUNK_COLS = 256  # pre-pass cluster-column chunk (bounds peak memory)
 
 
 def _compact_lists(bounds, f, seedp, tmin, ray_block, interpret=False):
-    del interpret  # XLA path; kept for kernel-prepass call-site compat
     """Chunked lane-exact slab pre-pass -> per-block compacted front-to-back
     cluster lists (order, count, tn_sorted), each (nb, nc)/(nb,).
+    `interpret` is unused (XLA path; a register-resident Pallas version
+    measured no faster — see STATUS.md round 2 dead ends).
 
     Works for any primitive kind whose feature matrix keeps ro in rows 1-3
     and rd in rows 4-6 (true for both tri and sphere features). A cluster is
@@ -1086,8 +1108,8 @@ def sph_cull_build(scene, coeffs, block: int | None = None):
     coeffs: (cb, cc) from sphere_coefficients (UNpermuted). Sphere AABBs
     span both motion endpoints (sphere.h bounding over [c0, c1]) with
     half-width |r| (negative radius = hollow shell, same bounds). Returns
-    (cstack (SPH_FEATURES, NC*2*block) permuted transposed table,
-    bounds (8, NC), orig_of (Spad,)). Inactive spheres sort last, keep
+    ((cbp, ccp) permuted padded (Spad, F) tables, bounds (8, NC),
+    orig_of (Spad,), cstack (F, NC*2*block) transposed stacked table). Inactive spheres sort last, keep
     their never-hit coefficients, and contribute inverted AABBs.
     block=None picks the smallest power of two keeping NC <= 512 (the
     prefetched per-ray-block cluster lists live in SMEM, which bounds NC;
@@ -1147,7 +1169,7 @@ def sph_cull_build(scene, coeffs, block: int | None = None):
         his.append(jnp.max(hi_p.reshape(nc, block), axis=1))
     zero = jnp.zeros((nc,), jnp.float32)
     bounds = jnp.stack(los + his + [zero, zero], axis=0)  # (8, NC)
-    return cstack, bounds, orig_of
+    return (cbp, ccp), bounds, orig_of, cstack
 
 
 def _sph_streamed_kernel(sph_block, cl_ref, cnt_ref, tnm_ref, cstack_hbm,
@@ -1238,7 +1260,8 @@ def flash_sphere_hit_streamed(cull, ro: V3, rd: V3, time, inside, tmin,
     Exact same results as flash_sphere_hit (front root; back root only when
     inside — sphere.cpp:33-43), at per-ray cost proportional to relevant
     clusters. Scales to reference BVH-table sizes (scene.cpp:109-113)."""
-    cstack, bounds, orig_of = cull
+    cds, bounds, orig_of, cstack = cull
+    del cds
     nc = bounds.shape[1]
     sph_block = cstack.shape[1] // (2 * nc)
 
@@ -1315,6 +1338,118 @@ def flash_sphere_hit_streamed(cull, ro: V3, rd: V3, time, inside, tmin,
     idx_s = jnp.take(orig_of, jnp.concatenate(i_parts)[:n])
     _, t_fin, idx_fin = jax.lax.sort((back, t_s, idx_s), num_keys=1)
     return t_fin, idx_fin
+
+
+def _sph_gated_kernel(bnd_ref, cb_ref, cc_ref, f_ref, inside_ref, tmin_ref,
+                      t_out_ref, i_out_ref, best_t_ref, best_i_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t_ref[:] = jnp.full_like(best_t_ref, INF)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    f = f_ref[:]  # (F, NB)
+    tmin = tmin_ref[0]
+    # per-(ray-block, cluster) slab gate with best-t early-out; bounds are
+    # SMEM scalars, rays unsorted (the mid-count sweet spot: few enough
+    # clusters that per-tile gating beats list compaction's sort+pre-pass)
+    tnear = None
+    tfar = None
+    for a in range(3):
+        ro_a = f[1 + a : 2 + a, :]
+        ird_a = 1.0 / f[4 + a : 5 + a, :]
+        t0a = (bnd_ref[a, j] - ro_a) * ird_a
+        t1a = (bnd_ref[3 + a, j] - ro_a) * ird_a
+        lo_a = jnp.minimum(t0a, t1a)
+        hi_a = jnp.maximum(t0a, t1a)
+        tnear = lo_a if tnear is None else jnp.maximum(tnear, lo_a)
+        tfar = hi_a if tfar is None else jnp.minimum(tfar, hi_a)
+    hit_c = (tfar > jnp.maximum(tnear, tmin)) & (tnear < best_t_ref[:])
+
+    @pl.when(jnp.any(hit_c))
+    def _():
+        hi = _PRECISION
+        b = jnp.dot(cb_ref[:], f, preferred_element_type=jnp.float32,
+                    precision=hi)
+        c = jnp.dot(cc_ref[:], f, preferred_element_type=jnp.float32,
+                    precision=hi)
+        inside = inside_ref[:]
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_front = -b - sq
+        t_back = -b + sq
+        ok = disc > 0.0
+        front_ok = ok & (t_front > tmin)
+        back_ok = ok & (inside > 0.0) & (t_back > tmin)
+        cand = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
+        local_min = jnp.min(cand, axis=0, keepdims=True)
+        local_arg = (
+            jnp.argmin(cand, axis=0).astype(jnp.int32)[None, :]
+            + j * cand.shape[0]
+        )
+        better = local_min < best_t_ref[:]
+        best_t_ref[:] = jnp.where(better, local_min, best_t_ref[:])
+        best_i_ref[:] = jnp.where(better, local_arg, best_i_ref[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        t_out_ref[:] = best_t_ref[:]
+        i_out_ref[:] = best_i_ref[:]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def flash_sphere_hit_gated(cull, ro: V3, rd: V3, time, inside, tmin, *,
+                           interpret: bool = False):
+    """Closest sphere hit with per-(ray-block, cluster) AABB gating and a
+    best-t early-out — no ray sorting or list compaction. Exact same
+    results as flash_sphere_hit. The mid-count path (~0.5-4k spheres,
+    e.g. book2's 1k-sphere cloud): the dense sweep pays every cluster on
+    every block, while full compaction's sort+pre-pass overhead exceeds
+    its savings at these sizes (measured round 2)."""
+    (cbp, ccp), bounds, orig_of, cstack = cull
+    del cstack
+    nc = bounds.shape[1]
+    sph_block = cbp.shape[0] // nc
+    n = ro.x.shape[0]
+    f = _pad_to(sphere_ray_features(ro, rd, time), RAY_BLOCK, 1, 0.0)
+    inside_f = _pad_to(
+        (inside > 0).astype(jnp.float32)[None, :], RAY_BLOCK, 1, 0.0
+    )
+    n_pad = f.shape[1]
+    grid = (n_pad // RAY_BLOCK, nc)
+    c_spec = pl.BlockSpec((sph_block, SPH_FEATURES), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    t_out, i_out = pl.pallas_call(
+        _sph_gated_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (8, NC)
+            c_spec, c_spec,
+            pl.BlockSpec((SPH_FEATURES, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, cbp, ccp, f, inside_f, jnp.full((1,), tmin, jnp.float32))
+    return t_out[0, :n], jnp.take(orig_of, i_out[0, :n])
 
 
 def _pad_to(x, mult, axis, value):

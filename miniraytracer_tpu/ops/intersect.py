@@ -483,7 +483,8 @@ def volume_ts(scene: T.SceneData, rays: Rays, tmin, tmax, u_volume):
 FLASH_MIN_TRIS = 64  # below this the XLA sweep beats kernel launch overhead
 FLASH_MIN_SPHERES = 64
 FLASH_CULL_MIN_TRIS = 1024  # below this one cluster covers the scene anyway
-FLASH_CULL_MIN_SPHERES = 4096  # dense sphere sweep wins below this
+FLASH_GATE_MIN_SPHERES = 512  # dense sphere sweep wins below this
+FLASH_CULL_MIN_SPHERES = 4096  # gated (unsorted) sweep wins below this
 
 
 def make_accel(scene: T.SceneData, differentiable: bool = False):
@@ -518,8 +519,11 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
             )
     if scene.n_spheres >= FLASH_MIN_SPHERES:
         coeffs_s = flash.sphere_coefficients(scene)
-        if differentiable or scene.n_spheres < FLASH_CULL_MIN_SPHERES:
+        if differentiable or scene.n_spheres < FLASH_GATE_MIN_SPHERES:
             accel["sph" + suffix] = coeffs_s
+        elif scene.n_spheres < FLASH_CULL_MIN_SPHERES:
+            # per-tile AABB gate, no sort (book2's 1k-sphere cloud class)
+            accel["sph_gate"] = flash.sph_cull_build(scene, coeffs_s)
         else:
             accel["sph_cull"] = flash.sph_cull_build(scene, coeffs_s)
     # fused Pallas Perlin-turbulence (forward-only: the AD path keeps the
@@ -548,12 +552,18 @@ def scene_hit(
     tmax0 = jnp.full((n,), INF)
 
     accel = accel or {}
-    if "sph" in accel or "sph_d" in accel or "sph_cull" in accel:
+    if ("sph" in accel or "sph_d" in accel or "sph_cull" in accel
+            or "sph_gate" in accel):
         from miniraytracer_tpu.ops import flash
 
         if "sph_d" in accel:
             t_s, i_s = flash.flash_sphere_hit_d(
                 accel["sph_d"], rays.ro, rays.rd, rays.time, rays.inside, tmin
+            )
+        elif "sph_gate" in accel:
+            t_s, i_s = flash.flash_sphere_hit_gated(
+                accel["sph_gate"], rays.ro, rays.rd, rays.time, rays.inside,
+                tmin,
             )
         elif "sph_cull" in accel:
             # compacted Morton-cluster sweep: the TPU equivalent of the

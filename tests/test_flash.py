@@ -369,6 +369,38 @@ def test_flash_sphere_streamed_matches_dense():
                                   np.asarray(i_d)[both])
 
 
+def test_flash_sphere_gated_matches_dense():
+    """Unsorted per-tile-gated sphere sweep == dense sweep (exact)."""
+    scene = random_spheres(1.0)
+    rng = np.random.default_rng(19)
+    n = 1024
+    ro = V3(
+        jnp.asarray(rng.uniform(-12, 12, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 4, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-12, 12, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+
+    coeffs = flash.sphere_coefficients(scene)
+    cull = flash.sph_cull_build(scene, coeffs)
+    t_d, i_d = flash.flash_sphere_hit(coeffs, ro, rd, time, inside, ix.TMIN,
+                                      interpret=True)
+    t_g, i_g = flash.flash_sphere_hit_gated(
+        cull, ro, rd, time, inside, ix.TMIN, interpret=True
+    )
+    t_d_np, t_g_np = np.asarray(t_d), np.asarray(t_g)
+    hit_d, hit_g = t_d_np < 1e38, t_g_np < 1e38
+    assert hit_d.any()
+    assert (hit_d == hit_g).all()
+    both = hit_d & hit_g
+    np.testing.assert_array_equal(t_g_np[both], t_d_np[both])
+    np.testing.assert_array_equal(np.asarray(i_g)[both],
+                                  np.asarray(i_d)[both])
+
+
 def test_tri_cull_build_covers_all_triangles():
     """Every active triangle lands in exactly one cluster, inside its
     cluster's AABB."""
@@ -389,12 +421,13 @@ def test_tri_cull_build_covers_all_triangles():
     assert sorted(orig[: t_count].tolist()) == list(range(t_count))
     b = np.asarray(bounds)
     nc = b.shape[1]
+    block = np.asarray(cds[0]).shape[0] // nc  # adaptive (64 at 11k tris)
     mx, ux, vx = (np.asarray(scene.tri_m), np.asarray(scene.tri_u),
                   np.asarray(scene.tri_v))
     for c in range(nc):
-        rows = orig[c * flash.TRI_BLOCK : (c + 1) * flash.TRI_BLOCK]
+        rows = orig[c * block : (c + 1) * block]
         rows = [r for k, r in enumerate(rows)
-                if c * flash.TRI_BLOCK + k < t_count and act[r]]
+                if c * block + k < t_count and act[r]]
         if not rows:
             continue
         a = mx[rows]

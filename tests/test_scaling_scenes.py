@@ -70,7 +70,7 @@ def test_random_scene_n_build_and_cull():
     s = _bulk_scene(3000)
     assert s.n_spheres == 3004
     coeffs = flash.sphere_coefficients(s)
-    cstack, bounds, orig_of = flash.sph_cull_build(s, coeffs)
+    cds, bounds, orig_of, cstack = flash.sph_cull_build(s, coeffs)
     nc = bounds.shape[1]
     block = cstack.shape[1] // (2 * nc)
     # every active sphere appears exactly once in the permutation
