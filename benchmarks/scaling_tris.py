@@ -48,26 +48,25 @@ def teapot_grid(n_instances: int, aspect: float = 1.0):
         cx = 120 + 320 * (k % cols) / max(1, cols - 1) if cols > 1 else 278
         cz = 120 + 320 * (k // cols) / max(1, cols - 1) if cols > 1 else 278
         va, vb, vc, na, nb_, nc = read_obj(
-            path, scale=90.0, rot_y_deg=25.0 * k, translate=(cx, 0, cz)
+            path, scale=90.0 / max(1.0, cols / 2.0), rot_y_deg=25.0 * k,
+            translate=(cx, 0, cz),
         )
-        for t in range(va.shape[0]):
-            b.triangle(va[t], vb[t], vc[t], metal, an=na[t], bn=nb_[t], cn=nc[t])
+        b.triangles_bulk(va, vb, vc, metal, an=na, bn=nb_, cn=nc)
     b.add_light(l)
     b.use_sky = False
     return b.build()
 
 
-def main(spp=16, width=500, height=500, bounces=32):
+def main(spp=16, width=500, height=500, bounces=32, instances=(1, 2, 4)):
     from miniraytracer_tpu.models import scenes as S
 
     rows = []
     sc = S.triangles(1.0)
-    for label, scene in [
-        ("triangles_11k", sc),
-        ("teapots_x1_26k", teapot_grid(1)),
-        ("teapots_x2_52k", teapot_grid(2)),
-        ("teapots_x4_104k", teapot_grid(4)),
-    ]:
+    cases = [("triangles_11k", sc)]
+    for k in instances:
+        g = teapot_grid(k)
+        cases.append((f"teapots_x{k}_{g.n_tris//1000}k", g))
+    for label, scene in cases:
         f, st = integ.render_workqueue(scene, width, height, spp, bounces)
         jax.block_until_ready(f)
         t0 = time.perf_counter()

@@ -791,13 +791,14 @@ def pick_renderer(scene: T.SceneData) -> str:
     scatter/prefix-sum overhead pays off only when per-iteration
     intersection work dominates — i.e. big primitive counts. Crossover
     sits around ~2k primitives (measured, 16spp):
-      triangles (11.3k tris): wavefront 1.0 -> workqueue 3.2 Mrays/s
-      book2 (4.8k tris + 1k spheres): 2.1 -> 3.4
-      cornell (19 prims, 64spp): wavefront-fused 443 (workqueue loses
-      its queue bookkeeping at tiny per-iteration intersection cost)
+      triangles (11.3k tris): wavefront 1.0 -> workqueue 3.6 Mrays/s
+      book2 (4.8k tris + 1k spheres): 2.1 -> 4.2
+      cornell (19 prims, 64spp): wavefront-fused 273-443 (workqueue
+      loses its queue bookkeeping at tiny per-iteration intersection
+      cost)
     Scenes whose tables fit the fused Pallas bounce kernel's SMEM budget
-    (ops/bounce.py can_fuse — incl. exact Perlin, 231 Mrays/s) run the
-    whole wavefront body in one kernel.
+    (ops/bounce.py can_fuse — incl. exact Perlin: perlin_spheres 153-231
+    Mrays/s) run the whole wavefront body in one kernel.
     """
     from miniraytracer_tpu.ops import bounce
 

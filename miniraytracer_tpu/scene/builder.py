@@ -61,6 +61,7 @@ class SceneBuilder:
     def __init__(self):
         self.spheres = []  # (c0, c1, t0, t1, radius, moving, mat)
         self.sphere_bulk = []  # vectorized blocks: 7 column arrays each
+        self.tri_bulk = []  # vectorized blocks: 7 column arrays each
         self.rects = []  # (ei, ej, ek, i0, i1, j0, j1, k, sign, mat)
         self.tris = []  # (m, u, v, mn, un, vn, mat)
         self.volumes = []  # (btype, bparams[12], density, mat)
@@ -176,6 +177,24 @@ class SceneBuilder:
         self.tris.append((a, u, v, np.asarray(an, _F), np.asarray(bn, _F), np.asarray(cn, _F), int(mat)))
         return (T.PRIM_TRI, len(self.tris) - 1)
 
+    def triangles_bulk(self, a, b, c, mats, an=None, bn=None, cn=None):
+        """Vectorized triangle addition: a/b/c (n,3) vertices, mats scalar
+        or (n,) handles, optional per-vertex normals (n,3). The mesh-scale
+        construction path (a 1M-triangle scene is untenable one Python
+        call at a time). Bulk triangles append after per-call triangles at
+        build() and cannot be used as light handles."""
+        a, b, c = (np.asarray(x, _F).reshape(-1, 3) for x in (a, b, c))
+        n = a.shape[0]
+        u, v = b - a, c - a
+        if an is None:
+            nrm = np.cross(u, v)
+            ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+            nrm = np.where(ln > 0, nrm / np.maximum(ln, 1e-30), nrm)
+            an = bn = cn = nrm
+        an, bn, cn = (np.asarray(x, _F).reshape(-1, 3) for x in (an, bn, cn))
+        m = np.broadcast_to(np.asarray(mats, np.int32), (n,)).copy()
+        self.tri_bulk.append((a, u, v, an, bn, cn, m))
+
     def box(self, bmin, bmax, mat, rot_y_deg=0.0, offset=(0, 0, 0)):
         """Axis-aligned box as 12 outward-wound triangles, with optional
         baked rotate_y + translate (replaces box.h + transforms)."""
@@ -283,6 +302,19 @@ class SceneBuilder:
             self.tris, [v3, v3, v3, v3, v3, v3, i_],
             (np.zeros(3), np.zeros(3), np.zeros(3), np.zeros(3), np.zeros(3), np.zeros(3), 0),
         )
+        if self.tri_bulk:
+            cols = [np.asarray(x) for x in (tm, tu, tv, tmn, tun, tvn, tmat)]
+            if not self.tris:  # drop the pad row pack() inserted
+                cols = [col[:0] for col in cols]
+            merged = [
+                np.concatenate([col] + [np.asarray(blk[k], dtype=col.dtype)
+                                        for blk in self.tri_bulk], axis=0)
+                for k, col in enumerate(cols)
+            ]
+            tm, tu, tv, tmn, tun, tvn, tmat = (
+                jnp.asarray(x) for x in merged
+            )
+            tact = jnp.asarray(np.ones(merged[0].shape[0], bool))
         (vbt, vbp, vden, vmat), vact = pack(
             self.volumes, [i_, ((12,), _F), s_, i_],
             (0, np.zeros(12), 1.0, 0),

@@ -64,6 +64,32 @@ def test_spheres_bulk_mixed_with_per_call_and_moving():
     assert not np.asarray(s.sph_moving)[0]
 
 
+def test_triangles_bulk_matches_per_call():
+    """bulk and per-call triangle construction produce identical tables."""
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-5, 5, (30, 3)).astype(np.float32)
+    b_ = a + rng.uniform(0.1, 1, (30, 3)).astype(np.float32)
+    c = a + rng.uniform(0.1, 1, (30, 3)).astype(np.float32)
+
+    b1 = SceneBuilder()
+    b1.set_camera((0, 0, -5), (0, 0, 0), (0, 1, 0), 40, 1.0, 0, 1, 0, 0)
+    m = b1.lambertian(b1.tex_const([0.5, 0.5, 0.5]))
+    for k in range(30):
+        b1.triangle(a[k], b_[k], c[k], m)
+    s1 = b1.build()
+
+    b2 = SceneBuilder()
+    b2.set_camera((0, 0, -5), (0, 0, 0), (0, 1, 0), 40, 1.0, 0, 1, 0, 0)
+    m2 = b2.lambertian(b2.tex_const([0.5, 0.5, 0.5]))
+    b2.triangles_bulk(a, b_, c, m2)
+    s2 = b2.build()
+
+    for field in ("tri_m", "tri_u", "tri_v", "tri_mn", "tri_un", "tri_vn",
+                  "tri_mat", "tri_active"):
+        np.testing.assert_array_equal(np.asarray(getattr(s1, field)),
+                                      np.asarray(getattr(s2, field)))
+
+
 def test_random_scene_n_build_and_cull():
     """random_scene_n builds the requested count (+4 fixed spheres) and the
     adaptive sphere cull covers every active sphere exactly once."""
