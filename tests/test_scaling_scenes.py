@@ -84,10 +84,15 @@ def test_triangles_bulk_matches_per_call():
     b2.triangles_bulk(a, b_, c, m2)
     s2 = b2.build()
 
-    for field in ("tri_m", "tri_u", "tri_v", "tri_mn", "tri_un", "tri_vn",
-                  "tri_mat", "tri_active"):
+    for field in ("tri_m", "tri_u", "tri_v", "tri_mat", "tri_active"):
         np.testing.assert_array_equal(np.asarray(getattr(s1, field)),
                                       np.asarray(getattr(s2, field)))
+    for field in ("tri_mn", "tri_un", "tri_vn"):
+        # auto-computed flat normals may differ 1 ULP (np.linalg.norm's
+        # vectorized reduction vs the scalar path)
+        np.testing.assert_allclose(np.asarray(getattr(s1, field)),
+                                   np.asarray(getattr(s2, field)),
+                                   atol=1.2e-7, rtol=0)
 
 
 def test_random_scene_n_build_and_cull():
