@@ -42,6 +42,10 @@ def build_parser():
     p.add_argument("-mode", type=int, default=1, help="0 = one-pass (wavefront), 1 = progressive passes")
     p.add_argument("-maxlum", type=float, default=1000.0, help="luminance clamp")
     p.add_argument("-delay", action="store_true", help="accepted for parity (no window to capture)")
+    p.add_argument("-live", action="store_true",
+                   help="ANSI truecolor in-terminal live view, refreshed "
+                        "per progressive pass (the reference window's "
+                        "headless stand-in)")
     # headless output / runtime extensions
     p.add_argument("-out", type=str, default="render.png", help="output image path (.png or .ppm)")
     p.add_argument("-tonemap", type=str, default="drago", choices=["drago", "reinhard", "gamma", "linear"])
@@ -154,19 +158,31 @@ def main(argv=None):
         # refreshes on a timer, not per tile)
         batches = None
         last_preview = [0.0]
-        if args.preview:
+        if args.preview or args.live:
             from miniraytracer_tpu.utils.runtime import tile_pixel_batches
 
             batches = [jnp.asarray(b, jnp.uint32) for b in
                        tile_pixel_batches(args.width, args.height, args.tilesize)]
 
-        def write_preview(force=False):
+        # -live: in-terminal window stand-in (Drago per refresh, like the
+        # reference's UI thread)
+        live = None
+        if args.live:
+            from miniraytracer_tpu.utils.terminal import LiveView
+
+            live = LiveView()
+
+        def write_preview(force=False, status=""):
             now = time.perf_counter()
             if not force and now - last_preview[0] < 0.5:
                 return
             last_preview[0] = now
             pv = np.asarray(frame_flat).reshape(args.height, args.width, 3)
-            save_png(args.preview, np.asarray(tm.drago(jnp.asarray(pv))))
+            img = np.asarray(tm.drago(jnp.asarray(pv)))
+            if args.preview:
+                save_png(args.preview, img)
+            if live is not None:
+                live.update(img[::-1], status=status)
 
         for i in range(start_pass, ns):
             if batches is not None:
@@ -178,7 +194,7 @@ def main(argv=None):
                     )
                     frame_flat = frame_flat.at[pix].set(rows)
                     ray_counts.append(rays)
-                    write_preview()
+                    write_preview(status=f"pass {i+1}/{ns}")
             else:
                 frame_flat, rays = integ.render_pass(
                     scene, frame_flat, jnp.int32(i), offs[i], ml,
@@ -203,8 +219,10 @@ def main(argv=None):
                          "scene": args.scene, "samples": ns, "depth": args.depth},
                     )
                     print(f"checkpoint -> {written}")
-                if args.preview:
-                    write_preview(force=True)
+                if args.preview or args.live:
+                    write_preview(force=True,
+                                  status=f"pass {i+1}/{ns}  {pct:5.1f}%  "
+                                         f"{mrays:.2f} Mrays/s")
         frame = np.asarray(frame_flat).reshape(args.height, args.width, 3)
         rays_total = float(sum(float(r) for r in ray_counts))
         elapsed = time.perf_counter() - t_start

@@ -95,3 +95,34 @@ def test_cli_preview_hilbert_matches_whole_frame(tmp_path):
     a = np.asarray(Image.open(out_a)).astype(np.int32)
     b = np.asarray(Image.open(out_b)).astype(np.int32)
     assert np.abs(a - b).max() <= 1  # u8 rounding of identical floats
+
+
+def test_cli_live_terminal_view(capsys, tmp_path):
+    """-live paints ANSI truecolor half-block frames per pass (the
+    reference window's headless stand-in, platform_linux.cpp:76-86)."""
+    from miniraytracer_tpu.cli import main
+
+    out = tmp_path / "o.png"
+    main(["-scene", "2", "-width", "32", "-height", "32", "-samples", "4",
+          "-depth", "3", "-renderer", "progressive", "-live",
+          "-out", str(out)])
+    s = capsys.readouterr().out
+    assert "\x1b[2J" in s  # cleared once
+    assert "\x1b[38;2;" in s and "\x1b[48;2;" in s  # truecolor fg+bg
+    assert s.count("▀") > 100  # half-block cells
+    assert out.exists()
+
+
+def test_ansi_frame_shape_and_codes():
+    import numpy as np
+
+    from miniraytracer_tpu.utils.terminal import ansi_frame
+
+    img = np.zeros((37, 53, 3), np.float32)
+    img[..., 0] = 1.0
+    s = ansi_frame(img, cols=40)
+    lines = s.split("\n")
+    assert all(line.endswith("\x1b[0m") for line in lines)
+    assert all(line.count("▀") == 40 for line in lines)
+    # red image -> red channel saturated in the codes
+    assert "38;2;255;0;0" in s
