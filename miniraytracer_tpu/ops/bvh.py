@@ -13,10 +13,14 @@ exceeds the current best t.
 MEASURED TPU CAVEAT: per-lane tree walks need a node fetch per step per ray
 (a dynamic gather). On TPU v5e an XLA gather costs ~450us per 250k lanes
 regardless of table size, and the one-hot-matmul alternative scales with
-node count — both make traversal slower than the streamed flash-intersect
-sweep (ops/flash.py) for every scene in this suite. The BVH is therefore a
-correctness-verified component (and the fast path on CPU backends); the TPU
-production path keeps flash-intersect. See tests/test_bvh.py.
+node count — both make traversal slower than the flash-intersect sweeps
+for every scene in this suite. The BVH is therefore a correctness-verified
+component (and the fast path on CPU backends). The TPU production answer
+to the BVH's O(log n) — the round-2 compacted Morton-cluster sweeps in
+ops/flash.py (resident/streamed/gated kernels: per-ray-block cluster
+lists with front-to-back early break) — beats the reference's own BVH
+scaling table at every size up to 1M primitives (scene.cpp:109-113;
+README scaling section). See tests/test_bvh.py.
 """
 
 from __future__ import annotations
