@@ -1,0 +1,112 @@
+"""On-chip regression checkup: one run validates every production kernel
+path against the dense oracles AND every scene's image statistics against
+the REAL reference renderer's archive (tests/reference_renders.npz).
+
+The CPU test suite covers all of this in interpret mode; this harness is
+the on-device complement (TPU MXU precision, Mosaic lowering, the real
+accel dispatch) built to spend tunnel time efficiently: run it inside the
+persistent worker (benchmarks/tpu_worker.py) after kernel changes.
+
+Prints PASS/FAIL lines; exits nonzero on any FAIL when run as a script.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FAILS = []
+
+
+def check(name, ok, detail=""):
+    tag = "PASS" if ok else "FAIL"
+    print(f"{tag} {name}  {detail}", flush=True)
+    if not ok:
+        FAILS.append(name)
+
+
+def kernel_exactness():
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.ops import flash
+    from miniraytracer_tpu.ops.vecmath import V3
+    from miniraytracer_tpu.models import scenes as S
+
+    sc = S.triangles(1.0)
+    m3 = V3(sc.tri_m[:, 0], sc.tri_m[:, 1], sc.tri_m[:, 2])
+    u3 = V3(sc.tri_u[:, 0], sc.tri_u[:, 1], sc.tri_u[:, 2])
+    v3 = V3(sc.tri_v[:, 0], sc.tri_v[:, 1], sc.tri_v[:, 2])
+    coeffs = flash.tri_coefficients(m3, u3, v3, sc.tri_active)
+    cull = flash.tri_cull_build(m3, u3, v3, sc.tri_active, coeffs)
+
+    n = 1 << 15
+    rng = np.random.default_rng(3)
+    ro_ = rng.uniform([-50, -50, -50], [600, 600, 600], (n, 3)).astype(np.float32)
+    rd_ = rng.standard_normal((n, 3)).astype(np.float32)
+    rd_ /= np.linalg.norm(rd_, axis=1, keepdims=True)
+    ro = V3(*[jnp.asarray(ro_[:, i]) for i in range(3)])
+    rd = V3(*[jnp.asarray(rd_[:, i]) for i in range(3)])
+    inside = jnp.asarray((rng.uniform(size=n) < 0.2).astype(np.int32))
+
+    t_ref, _ = flash.flash_tri_hit(coeffs, ro, rd, inside, 0.001)
+    t_ref = np.asarray(t_ref)
+    for lbl, fn in (("tri_resident", flash.flash_tri_hit_resident),
+                    ("tri_streamed", flash.flash_tri_hit_streamed)):
+        t_, _ = fn(cull, ro, rd, inside, 0.001)
+        check(f"kernel {lbl} exact",
+              np.array_equal(np.asarray(t_), t_ref))
+
+    sp = S.random_spheres(1.0)
+    sco = flash.sphere_coefficients(sp)
+    scull = flash.sph_cull_build(sp, sco)
+    time_ = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    ro2_ = rng.uniform([-12, 0, -12], [12, 4, 12], (n, 3)).astype(np.float32)
+    ro2 = V3(*[jnp.asarray(ro2_[:, i]) for i in range(3)])
+    t_d, _ = flash.flash_sphere_hit(sco, ro2, rd, time_, inside, 0.001)
+    t_d = np.asarray(t_d)
+    for lbl, fn in (("sph_gated", flash.flash_sphere_hit_gated),
+                    ("sph_streamed", flash.flash_sphere_hit_streamed)):
+        t_, _ = fn(scull, ro2, rd, time_, inside, 0.001)
+        check(f"kernel {lbl} exact",
+              np.array_equal(np.asarray(t_), t_d))
+
+
+def scene_parity(tol=0.02):
+    """All nine scenes at the archive config (100x100 x 64 spp, depth 16)
+    through the PRODUCTION auto renderer; channel means vs the real
+    reference binary's frames."""
+    import jax
+
+    from miniraytracer_tpu.models import integrator as integ
+    from miniraytracer_tpu.models import scenes as S
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "reference_renders.npz")
+    ref = np.load(path)
+    for name in ref.files:
+        gen = getattr(S, name, None)
+        if gen is None:
+            continue
+        sc = gen(1.0)
+        t0 = time.perf_counter()
+        f, st = integ.render_auto(sc, 100, 100, 64, 16)
+        jax.block_until_ready(f)
+        el = time.perf_counter() - t0
+        ours = np.asarray(f).reshape(-1, 3).mean(axis=0)
+        theirs = np.asarray(ref[name]).reshape(-1, 3).mean(axis=0)
+        rel = np.abs(ours - theirs) / np.maximum(np.abs(theirs), 1e-6)
+        check(f"parity {name}", bool((rel < tol).all()),
+              f"rel {np.round(rel, 4)} ({el:.1f}s)")
+
+
+def main():
+    kernel_exactness()
+    scene_parity()
+    print(f"checkup: {len(FAILS)} failures", flush=True)
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
