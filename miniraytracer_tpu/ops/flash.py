@@ -1679,3 +1679,69 @@ def _sph_bwd(res, cot):
 
 
 flash_sphere_hit_d.defvjp(_sph_fwd, _sph_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable CULLED variants: the backward depends only on (coeffs,
+# rays, winner) — not on how the forward found the winner — so the cluster
+# kernels slot under the SAME hand-derived VJPs. The cull tables are
+# value-redundant with `coeffs` (permuted copies + AABBs), so their
+# cotangent is zero and all scene-parameter gradient flows through the
+# coeffs argument. Big-mesh scenes then train at culled-forward speed.
+# ---------------------------------------------------------------------------
+
+
+def tri_hit_culled_auto(cull, ro, rd, inside, tmin, t_seed=None):
+    """Resident when the tables fit VMEM, HBM-streamed otherwise."""
+    if resident_ok(cull):
+        return flash_tri_hit_resident(cull, ro, rd, inside, tmin, t_seed)
+    return flash_tri_hit_streamed(cull, ro, rd, inside, tmin, t_seed)
+
+
+def sphere_hit_culled_auto(cull, ro, rd, time, inside, tmin):
+    """Gated (unsorted) below the list-compaction crossover, streamed above
+    (measured round 2: compaction loses under ~4k spheres)."""
+    if cull[0][0].shape[0] < 4096:  # padded sphere count
+        return flash_sphere_hit_gated(cull, ro, rd, time, inside, tmin)
+    return flash_sphere_hit_streamed(cull, ro, rd, time, inside, tmin)
+
+
+@jax.custom_vjp
+def flash_tri_hit_culled_d(cull, coeffs, ro, rd, inside, tmin):
+    """Differentiable closest-hit via the culled kernels (exact same
+    results as flash_tri_hit_d; forward cost tracks relevant clusters)."""
+    del coeffs  # value-redundant with cull; used by the backward
+    return tri_hit_culled_auto(cull, ro, rd, inside, tmin)
+
+
+def _tri_culled_fwd(cull, coeffs, ro, rd, inside, tmin):
+    t, idx = tri_hit_culled_auto(cull, ro, rd, inside, tmin)
+    return (t, idx), (coeffs, ro, rd, t, idx)
+
+
+def _tri_culled_bwd(res, cot):
+    d_coeffs, d_ro, d_rd, _, _ = _tri_bwd(res, cot)
+    return None, d_coeffs, d_ro, d_rd, None, None
+
+
+flash_tri_hit_culled_d.defvjp(_tri_culled_fwd, _tri_culled_bwd)
+
+
+@jax.custom_vjp
+def flash_sphere_hit_culled_d(cull, coeffs, ro, rd, time, inside, tmin):
+    """Differentiable closest sphere hit via the culled kernels."""
+    del coeffs
+    return sphere_hit_culled_auto(cull, ro, rd, time, inside, tmin)
+
+
+def _sph_culled_fwd(cull, coeffs, ro, rd, time, inside, tmin):
+    t, idx = sphere_hit_culled_auto(cull, ro, rd, time, inside, tmin)
+    return (t, idx), (coeffs, ro, rd, time, t, idx)
+
+
+def _sph_culled_bwd(res, cot):
+    d_coeffs, d_ro, d_rd, d_time, _, _ = _sph_bwd(res, cot)
+    return None, d_coeffs, d_ro, d_rd, d_time, None, None
+
+
+flash_sphere_hit_culled_d.defvjp(_sph_culled_fwd, _sph_culled_bwd)

@@ -507,7 +507,14 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
         u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
         v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
         coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
-        if differentiable or scene.n_tris < FLASH_CULL_MIN_TRIS:
+        if differentiable and scene.n_tris >= FLASH_CULL_MIN_TRIS:
+            # culled forward under the same hand-derived VJP (the backward
+            # only needs coeffs + winner rows)
+            accel["tri_cull_d"] = (
+                flash.tri_cull_build(m, u, v, scene.tri_active, coeffs),
+                coeffs,
+            )
+        elif differentiable or scene.n_tris < FLASH_CULL_MIN_TRIS:
             accel["tri" + suffix] = coeffs
         else:
             # forward path with enough triangles: Morton-clustered sweep
@@ -519,7 +526,11 @@ def make_accel(scene: T.SceneData, differentiable: bool = False):
             )
     if scene.n_spheres >= FLASH_MIN_SPHERES:
         coeffs_s = flash.sphere_coefficients(scene)
-        if differentiable or scene.n_spheres < FLASH_GATE_MIN_SPHERES:
+        if differentiable and scene.n_spheres >= FLASH_GATE_MIN_SPHERES:
+            accel["sph_cull_d"] = (
+                flash.sph_cull_build(scene, coeffs_s), coeffs_s
+            )
+        elif differentiable or scene.n_spheres < FLASH_GATE_MIN_SPHERES:
             accel["sph" + suffix] = coeffs_s
         elif scene.n_spheres < FLASH_CULL_MIN_SPHERES:
             # per-tile AABB gate, no sort (book2's 1k-sphere cloud class)
@@ -553,12 +564,18 @@ def scene_hit(
 
     accel = accel or {}
     if ("sph" in accel or "sph_d" in accel or "sph_cull" in accel
-            or "sph_gate" in accel):
+            or "sph_gate" in accel or "sph_cull_d" in accel):
         from miniraytracer_tpu.ops import flash
 
         if "sph_d" in accel:
             t_s, i_s = flash.flash_sphere_hit_d(
                 accel["sph_d"], rays.ro, rays.rd, rays.time, rays.inside, tmin
+            )
+        elif "sph_cull_d" in accel:
+            cull_s, coeffs_s = accel["sph_cull_d"]
+            t_s, i_s = flash.flash_sphere_hit_culled_d(
+                cull_s, coeffs_s, rays.ro, rays.rd, rays.time, rays.inside,
+                tmin,
             )
         elif "sph_gate" in accel:
             t_s, i_s = flash.flash_sphere_hit_gated(
@@ -583,12 +600,18 @@ def scene_hit(
     t_r, i_r = _chunked_min(
         lambda s, c: rect_ts(scene, rays, s, c, tmin, tmax0), scene.n_rects, n
     )
-    if "tri" in accel or "tri_d" in accel or "tri_cull" in accel:
+    if ("tri" in accel or "tri_d" in accel or "tri_cull" in accel
+            or "tri_cull_d" in accel):
         from miniraytracer_tpu.ops import flash
 
         if "tri_d" in accel:
             t_t, i_t = flash.flash_tri_hit_d(
                 accel["tri_d"], rays.ro, rays.rd, rays.inside, tmin
+            )
+        elif "tri_cull_d" in accel:
+            cull_t, coeffs_t = accel["tri_cull_d"]
+            t_t, i_t = flash.flash_tri_hit_culled_d(
+                cull_t, coeffs_t, rays.ro, rays.rd, rays.inside, tmin
             )
         elif "tri_cull" in accel:
             # seed with the sphere/rect winners: clusters behind an existing

@@ -166,6 +166,94 @@ def test_sphere_custom_vjp_matches_xla_autodiff(monkeypatch):
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=np.abs(a).max() * 1e-4)
 
 
+def test_tri_culled_vjp_matches_dense_vjp(monkeypatch):
+    """Culled differentiable forward under the shared VJP == dense _d path
+    (identical values AND gradients; the backward only needs winner rows)."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+
+    monkeypatch.setattr(flash, "flash_tri_hit",
+                        partial(flash.flash_tri_hit, interpret=True))
+    monkeypatch.setattr(flash, "flash_tri_hit_resident",
+                        partial(flash.flash_tri_hit_resident, interpret=True))
+    monkeypatch.setattr(flash, "flash_tri_hit_streamed",
+                        partial(flash.flash_tri_hit_streamed, interpret=True))
+    scene = triangles(1.0)
+    rng = np.random.default_rng(29)
+    n = 256
+    ro = V3(jnp.full((n,), 278.0), jnp.full((n,), 278.0), jnp.full((n,), -790.0))
+    rd = vnormalize(V3(
+        jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-0.3, 0.3, n).astype(np.float32)),
+        jnp.ones((n,), jnp.float32),
+    ))
+    inside = jnp.zeros((n,), jnp.int32)
+
+    def loss(tri_m, culled):
+        sc = dataclasses.replace(scene, tri_m=tri_m)
+        m = V3(sc.tri_m[:, 0], sc.tri_m[:, 1], sc.tri_m[:, 2])
+        u = V3(sc.tri_u[:, 0], sc.tri_u[:, 1], sc.tri_u[:, 2])
+        v = V3(sc.tri_v[:, 0], sc.tri_v[:, 1], sc.tri_v[:, 2])
+        coeffs = flash.tri_coefficients(m, u, v, sc.tri_active)
+        if culled:
+            cull = flash.tri_cull_build(m, u, v, sc.tri_active, coeffs)
+            t, _ = flash.flash_tri_hit_culled_d(cull, coeffs, ro, rd,
+                                                inside, ix.TMIN)
+        else:
+            t, _ = flash.flash_tri_hit_d(coeffs, ro, rd, inside, ix.TMIN)
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    v0, g0 = jax.value_and_grad(partial(loss, culled=False))(scene.tri_m)
+    v1, g1 = jax.value_and_grad(partial(loss, culled=True))(scene.tri_m)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sphere_culled_vjp_matches_dense_vjp(monkeypatch):
+    import dataclasses
+    from functools import partial
+
+    import jax
+
+    monkeypatch.setattr(flash, "flash_sphere_hit",
+                        partial(flash.flash_sphere_hit, interpret=True))
+    monkeypatch.setattr(
+        flash, "flash_sphere_hit_gated",
+        partial(flash.flash_sphere_hit_gated, interpret=True))
+    monkeypatch.setattr(
+        flash, "flash_sphere_hit_streamed",
+        partial(flash.flash_sphere_hit_streamed, interpret=True))
+    scene = random_spheres(1.0)
+    rng = np.random.default_rng(31)
+    n = 256
+    ro, rd = _rand_rays(rng, n, -12, 12)
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    inside = jnp.zeros((n,), jnp.int32)
+
+    def loss(c0, culled):
+        sc = dataclasses.replace(scene, sph_c0=c0)
+        coeffs = flash.sphere_coefficients(sc)
+        if culled:
+            cull = flash.sph_cull_build(sc, coeffs)
+            t, _ = flash.flash_sphere_hit_culled_d(cull, coeffs, ro, rd,
+                                                   time, inside, ix.TMIN)
+        else:
+            t, _ = flash.flash_sphere_hit_d(coeffs, ro, rd, time, inside,
+                                            ix.TMIN)
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    import jax as _jax
+
+    v0, g0 = _jax.value_and_grad(partial(loss, culled=False))(scene.sph_c0)
+    v1, g1 = _jax.value_and_grad(partial(loss, culled=True))(scene.sph_c0)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_scene_hit_with_accel_dict_matches_plain():
     """scene_hit(accel=...) must agree with the plain path (interpret)."""
     scene = triangles(1.0)
