@@ -524,6 +524,59 @@ def test_tri_cull_build_covers_all_triangles():
         assert (verts.max(axis=0) <= b[3:6, c] + 1e-4).all()
 
 
+def test_scene_hit_with_gate_and_cull_accel_matches_plain():
+    """scene_hit with BOTH sph_gate and tri_cull (the book2-class accel
+    mix: gated sphere sweep seeds the culled triangle sweep) must agree
+    with the plain XLA path (interpret)."""
+    from functools import partial
+
+    from miniraytracer_tpu.models.scenes import book2_final
+    import miniraytracer_tpu.ops.flash as fl
+
+    scene = book2_final(1.0)
+    rng = np.random.default_rng(37)
+    n = 512
+    ro = V3(
+        jnp.asarray(rng.uniform(-100, 600, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 500, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-500, 500, n).astype(np.float32)),
+    )
+    rd = vnormalize(V3(*[jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                         for _ in range(3)]))
+    rays = ix.Rays(ro=ro, rd=rd,
+                   time=jnp.asarray(rng.uniform(0, 1, n).astype(np.float32)),
+                   inside=jnp.zeros(n, jnp.int32))
+    rec0 = ix.scene_hit(scene, rays)
+
+    m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+    u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+    v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+    coeffs = fl.tri_coefficients(m, u, v, scene.tri_active)
+    sco = fl.sphere_coefficients(scene)
+    accel = {
+        "tri_cull": fl.tri_cull_build(m, u, v, scene.tri_active, coeffs),
+        "sph_gate": fl.sph_cull_build(scene, sco),
+    }
+    patches = ("flash_tri_hit_culled", "flash_tri_hit_resident",
+               "flash_tri_hit_streamed", "flash_sphere_hit_gated")
+    origs = {p: getattr(fl, p) for p in patches}
+    for p in patches:
+        setattr(fl, p, partial(origs[p], interpret=True))
+    try:
+        rec1 = ix.scene_hit(scene, rays, accel=accel)
+    finally:
+        for p in patches:
+            setattr(fl, p, origs[p])
+    agree = np.asarray(rec0.hit) == np.asarray(rec1.hit)
+    assert agree.mean() > 0.99
+    both = np.asarray(rec0.hit) & np.asarray(rec1.hit)
+    np.testing.assert_allclose(
+        np.asarray(rec1.t)[both], np.asarray(rec0.t)[both],
+        rtol=5e-4, atol=2e-2,
+    )
+    assert (np.asarray(rec1.mat)[both] == np.asarray(rec0.mat)[both]).mean() > 0.995
+
+
 def test_scene_hit_with_culled_accel_matches_plain():
     """scene_hit with the tri_cull accel (seeded best-t, ray sorting) must
     agree with the plain XLA path, including surface attribution on lanes
