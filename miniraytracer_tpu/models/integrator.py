@@ -751,7 +751,7 @@ def render_workqueue(
         _, ns_total = sample_offsets(spp)  # spp rounds to a square grid
         acc = None
         cnt = None
-        total_r = 0.0
+        ray_parts = []  # device scalars; transferred once after the chain
         base = 0
         while base < ns_total:
             nb = min(chunk, ns_total - base)
@@ -760,13 +760,16 @@ def render_workqueue(
                 width=width, height=height, spp=spp,
                 max_bounces=max_bounces, n_lanes=n_lanes, chunk=nb,
             )
-            jax.block_until_ready(c)
+            # no per-chunk sync: dispatches queue back-to-back on the
+            # device (a host round trip per chunk costs 30-90 ms over the
+            # tunnel); each chunk is still its own bounded execution
             acc = a if acc is None else acc + a
             cnt = c if cnt is None else cnt + c
-            total_r += float(r)
+            ray_parts.append(r)
             base += nb
         frame = acc / jnp.maximum(cnt, 1.0)[:, None]
-        rays = total_r
+        jax.block_until_ready(frame)
+        rays = float(sum(float(r) for r in ray_parts))
     else:
         frame, rays = _render_workqueue_jit(
             scene, jnp.float32(max_lum),
