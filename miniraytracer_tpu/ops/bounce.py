@@ -340,66 +340,47 @@ def _turbulence(ptab_ref, p: V3):
 
 
 # ---------------------------------------------------------------------------
-# The kernel
+# Shared bounce physics (scene_hit + shade on (R, 128) lane tiles)
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(meta, width, height, sq, max_bounces):
-    """Build the fused-bounce kernel specialized to the scene's meta."""
+class BounceOut:
+    """Physics outputs for one bounce (all (rows, 128) lane tiles)."""
+
+    __slots__ = ("hit", "safe_t", "p", "nrm", "emitted", "is_light", "is_iso",
+                 "is_specular", "weight", "new_rd", "new_inside")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
+    """One bounce of the reference trace() body (main.cpp:66-118): inline
+    scene_hit (running-winner record over all primitive types) + shade
+    (material dispatch, MIS light sampling) on lane tiles.
+
+    `tabs` = (sph, rect, tri, vol, mat, tex) scene tables, each indexable
+    by STATIC python ints (an SMEM ref inside a kernel, or a python list of
+    traced scalars — the differentiable kernels pass lists so jax.vjp can
+    produce per-entry cotangents). `ptab` is the (96, 128) Perlin tile ref
+    or array. Shared verbatim by the fused render kernel and the
+    differentiable packed kernels so the estimator physics exists ONCE."""
     S, R, Tc, V = meta["S"], meta["R"], meta["Tc"], meta["V"]
     M, X = meta["M"], meta["X"]
     lights = meta["lights"]
-    use_sky = meta["use_sky"]
     exact_cos = meta["exact_cosine"]
     perlin = meta["perlin"]
     nL = max(len(lights), 1)
+    sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref = tabs
 
-    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
-               ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref,
-               fo_ref, io_ref, ko_ref, ray_ref):
-        # Blocks are (BR, 128) lane tiles — native VPU vreg shape, full
-        # sublane occupancy (a (1, B) row layout measured 17x slower).
-        # The WHOLE per-lane render loop (bounce + merge + regen until the
-        # block's lanes exhaust their samples) runs inside this kernel with
-        # state in registers/VMEM: one HBM round trip per *render*, not per
-        # bounce.
-        max_lum = misc_ref[0]
-        sample_lo = misc_ref[1].astype(jnp.int32)
-        n_samples = misc_ref[2].astype(jnp.int32)
-        pix = pix_ref[:]  # (BR, 128) u32
-
-        carry0 = (
-            tuple(f_ref[r] for r in range(NF))
-            + tuple(i_ref[r] for r in range(NI))
-            + (k_ref[:], jnp.zeros_like(f_ref[0]))
-        )
-
-        def cond(c):
-            return jnp.any(c[R_ALIVE] > 0.0)
-
-        def step(c):
-            accum = V3(c[R_ACC], c[R_ACC + 1], c[R_ACC + 2])
-            ro = V3(c[R_RO], c[R_RO + 1], c[R_RO + 2])
-            rd = V3(c[R_RD], c[R_RD + 1], c[R_RD + 2])
-            time = c[R_TIME]
-            beta = V3(c[R_BETA], c[R_BETA + 1], c[R_BETA + 2])
-            radiance = V3(c[R_RAD], c[R_RAD + 1], c[R_RAD + 2])
-            alive = c[R_ALIVE] > 0.0
-            count = c[NF + I_COUNT]
-            inside = c[NF + I_INSIDE]
-            depth = c[NF + I_DEPTH]
-            keys = c[NF + NI]
-            rays_ct = c[NF + NI + 1]
-            rays_ct = rays_ct + jnp.where(alive, 1.0, 0.0)
-
-            keys_b = _fold(keys, depth)
-            depth_ok = depth < max_bounces
-
+    if True:  # keep the original kernel-body indentation for the moved code
+        if True:
             # ---------------- scene_hit (inline, running-winner record) --------
             best_t = jnp.full_like(time, INF)
             # winner record fields, updated whenever a candidate is better
             w_n = V3(jnp.ones_like(time), jnp.zeros_like(time), jnp.zeros_like(time))
-            w_mat = jnp.zeros_like(count)
+            w_mat = jnp.zeros_like(inside)
 
             # --- spheres (sphere.cpp:13-46) --- tie rule: sphere first, so '<'
             for si in range(S):
@@ -831,8 +812,110 @@ def _make_kernel(meta, width, height, sq, max_bounces):
             new_inside = jnp.where(is_diel, diel_inside, 0)
             ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t), jnp.ones_like(safe_t))
             weight = _vwhere(is_diel, ones3, _vwhere(is_specular, albedo, diffuse_w))
-            scattered = depth_ok & ~is_light
-            add_emitted = ~(scattered & is_specular)
+            return BounceOut(
+                hit=hit, safe_t=safe_t, p=p, nrm=nrm, emitted=emitted,
+                is_light=is_light, is_iso=is_iso, is_specular=is_specular,
+                weight=weight, new_rd=new_rd, new_inside=new_inside,
+            )
+
+
+def background_color(meta, rd, template):
+    """Sky gradient or black (main.cpp:110-116)."""
+    if meta["use_sky"]:
+        tsky = 0.5 * (rd.y + 1.0)
+        return V3((1.0 - tsky) + tsky * 0.5, (1.0 - tsky) + tsky * 0.7,
+                  (1.0 - tsky) + tsky * 1.0)
+    return V3(0.0 * template, 0.0 * template, 0.0 * template)
+
+
+def camera_ray(cam_ref, ss, tt, new_keys, template):
+    """Thin-lens + shutter camera ray from film coords, in-kernel
+    (camera.h:38-45 == models/camera.get_rays, counter-keyed jitter).
+    `cam_ref` indexable by static ints (ref or list)."""
+    kc = _fold(new_keys, jnp.full_like(new_keys, CAM_FOLD))
+    u1 = _uniform(kc, 0)
+    u2 = _uniform(kc, 1)
+    u3 = _uniform(kc, 2)
+    radd = jnp.sqrt(u1)
+    phid = 2.0 * PI * u2
+    lens_r = cam_ref[18]
+    dx = radd * jnp.cos(phid) * lens_r
+    dy = radd * jnp.sin(phid) * lens_r
+    cu = V3(cam_ref[12] + 0.0 * template, cam_ref[13] + 0.0 * template,
+            cam_ref[14] + 0.0 * template)
+    cvv3 = V3(cam_ref[15] + 0.0 * template, cam_ref[16] + 0.0 * template,
+              cam_ref[17] + 0.0 * template)
+    offset = cu * dx + cvv3 * dy
+    new_time = cam_ref[19] + (cam_ref[20] - cam_ref[19]) * u3
+    corig = V3(cam_ref[0] + 0.0 * template, cam_ref[1] + 0.0 * template,
+               cam_ref[2] + 0.0 * template)
+    new_ro = corig + offset
+    new_dir = _normalize(V3(
+        cam_ref[3] + cam_ref[6] * ss + cam_ref[9] * tt - cam_ref[0] - offset.x,
+        cam_ref[4] + cam_ref[7] * ss + cam_ref[10] * tt - cam_ref[1] - offset.y,
+        cam_ref[5] + cam_ref[8] * ss + cam_ref[11] * tt - cam_ref[2] - offset.z,
+    ))
+    return new_ro, new_dir, new_time
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(meta, width, height, sq, max_bounces):
+    """Build the fused-bounce kernel specialized to the scene's meta."""
+    use_sky = meta["use_sky"]
+
+    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+               ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref,
+               fo_ref, io_ref, ko_ref, ray_ref):
+        # Blocks are (BR, 128) lane tiles — native VPU vreg shape, full
+        # sublane occupancy (a (1, B) row layout measured 17x slower).
+        # The WHOLE per-lane render loop (bounce + merge + regen until the
+        # block's lanes exhaust their samples) runs inside this kernel with
+        # state in registers/VMEM: one HBM round trip per *render*, not per
+        # bounce.
+        max_lum = misc_ref[0]
+        sample_lo = misc_ref[1].astype(jnp.int32)
+        n_samples = misc_ref[2].astype(jnp.int32)
+        pix = pix_ref[:]  # (BR, 128) u32
+        tabs = (sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref)
+
+        carry0 = (
+            tuple(f_ref[r] for r in range(NF))
+            + tuple(i_ref[r] for r in range(NI))
+            + (k_ref[:], jnp.zeros_like(f_ref[0]))
+        )
+
+        def cond(c):
+            return jnp.any(c[R_ALIVE] > 0.0)
+
+        def step(c):
+            accum = V3(c[R_ACC], c[R_ACC + 1], c[R_ACC + 2])
+            ro = V3(c[R_RO], c[R_RO + 1], c[R_RO + 2])
+            rd = V3(c[R_RD], c[R_RD + 1], c[R_RD + 2])
+            time = c[R_TIME]
+            beta = V3(c[R_BETA], c[R_BETA + 1], c[R_BETA + 2])
+            radiance = V3(c[R_RAD], c[R_RAD + 1], c[R_RAD + 2])
+            alive = c[R_ALIVE] > 0.0
+            count = c[NF + I_COUNT]
+            inside = c[NF + I_INSIDE]
+            depth = c[NF + I_DEPTH]
+            keys = c[NF + NI]
+            rays_ct = c[NF + NI + 1]
+            rays_ct = rays_ct + jnp.where(alive, 1.0, 0.0)
+
+            keys_b = _fold(keys, depth)
+            depth_ok = depth < max_bounces
+
+            b = bounce_physics(meta, tabs, ptab_ref, ro, rd, time, inside,
+                               keys_b)
+            hit, safe_t, p = b.hit, b.safe_t, b.p
+            emitted, weight = b.emitted, b.weight
+            new_rd, new_inside = b.new_rd, b.new_inside
+            scattered = depth_ok & ~b.is_light
+            add_emitted = ~(scattered & b.is_specular)
 
             # ---------------- advance + merge + regen (wavefront body) ---------
             miss = alive & ~hit
@@ -879,29 +962,10 @@ def _make_kernel(meta, width, height, sq, max_bounces):
             ypix = (pix // width).astype(jnp.int32).astype(jnp.float32)
             ss = (xpix + off_x) / width
             tt = (ypix + off_y) / height
-            kc = _fold(new_keys, jnp.full_like(new_keys, CAM_FOLD))
-            u1 = _uniform(kc, 0)
-            u2 = _uniform(kc, 1)
-            u3 = _uniform(kc, 2)
-            radd = jnp.sqrt(u1)
-            phid = 2.0 * PI * u2
-            lens_r = cam_ref[18]
-            dx = radd * jnp.cos(phid) * lens_r
-            dy = radd * jnp.sin(phid) * lens_r
-            cu = V3(cam_ref[12] + 0.0 * safe_t, cam_ref[13] + 0.0 * safe_t,
-                    cam_ref[14] + 0.0 * safe_t)
-            cvv3 = V3(cam_ref[15] + 0.0 * safe_t, cam_ref[16] + 0.0 * safe_t,
-                      cam_ref[17] + 0.0 * safe_t)
-            offset = cu * dx + cvv3 * dy
-            new_time = cam_ref[19] + (cam_ref[20] - cam_ref[19]) * u3
-            corig = V3(cam_ref[0] + 0.0 * safe_t, cam_ref[1] + 0.0 * safe_t,
-                       cam_ref[2] + 0.0 * safe_t)
-            new_ro = corig + offset
-            new_dir = _normalize(V3(
-                cam_ref[3] + cam_ref[6] * ss + cam_ref[9] * tt - cam_ref[0] - offset.x,
-                cam_ref[4] + cam_ref[7] * ss + cam_ref[10] * tt - cam_ref[1] - offset.y,
-                cam_ref[5] + cam_ref[8] * ss + cam_ref[11] * tt - cam_ref[2] - offset.z,
-            ))
+            new_ro, new_dir, new_time = camera_ray(cam_ref, ss, tt, new_keys,
+                                                   safe_t)
+            ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
+                       jnp.ones_like(safe_t))
 
             out_ro = _vwhere(regen, new_ro, _vwhere(cont, p, ro))
             out_rd = _vwhere(regen, new_dir, _vwhere(cont, new_rd, rd))

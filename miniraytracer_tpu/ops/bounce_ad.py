@@ -1,0 +1,511 @@
+"""Differentiable fused bounce: custom-VJP Pallas kernels for the AD path.
+
+The packed regeneration-in-scan renderer (integrator.sample_radiance_packed)
+is the train step's forward: a `lax.scan` whose body is ~40 small HBM-bound
+XLA fusions per bounce, plus the reverse sweep XLA derives from it. This
+module replaces the scan BODY with a fused kernel pair:
+
+- forward: ONE Pallas kernel per scan step — the whole bounce (inline
+  scene_hit + shade via bounce.bounce_physics, the SAME code the fused
+  render kernel runs) + completion merge + lane regeneration, lane state in
+  (8, 128) vreg tiles.
+- backward: ONE Pallas kernel per scan step that REPLAYS the step math from
+  the saved input state (counter-based RNG makes the replay exact) under
+  `jax.vjp`, producing (a) cotangents for the carried lane state and (b)
+  per-block cotangents for the differentiable scene-table entries
+  (TrainParams: tex colors, mat_param, sphere centers/radii, triangle base
+  vertices), each a tile reduction written to SMEM. The generated pullback
+  is the exact transpose of the forward body — the hand-derived-backward
+  requirement is met by construction, fused, with no 40-fusion round trips.
+
+Layout change vs sample_radiance_packed: one lane = one PIXEL tracing `spp`
+samples sequentially (slots = samples, not arbitrary items), so the per-lane
+output collapses to (finite-radiance sum, valid count) — exactly what the
+SSE loss consumes — instead of (L, pack) per-item slots. Estimator equality:
+same counter-keyed RNG per (pixel, sample), same claim-limit gating, same
+per-sample radiance; the loss's `done & isfinite` mask is applied per lane
+at completion (all-channel finiteness, the render path's NaN rule) rather
+than per channel. Gradient support is the TrainParams set; cotangents for
+time/alive/int lanes are structurally zero on the paths that reach them
+(camera and RNG are non-differentiable) and are dropped.
+
+Reference: trace() body main.cpp:66-118; dynamic queue keep-lanes-busy
+semantics work_queue.cpp:158-175.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniraytracer_tpu.ops import bounce as B
+from miniraytracer_tpu.ops.vecmath import V3
+from miniraytracer_tpu.scene import types as T
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+BLOCK_ROWS = 8
+
+# float state rows
+A_SUM, A_RO, A_RD, A_TIME, A_BETA, A_RAD, A_ALIVE, A_NV, A_RAYS = (
+    0, 3, 6, 9, 10, 13, 16, 17, 18)
+NF = 19
+# int state rows
+J_COUNT, J_INSIDE, J_DEPTH = 0, 1, 2
+NJ = 3
+# residual float rows: fstate[A_RO : A_ALIVE+1] (ro rd time beta rad alive)
+RES_LO, RES_HI = A_RO, A_ALIVE + 1
+
+
+def table_lengths(meta):
+    S, R, Tc, V = meta["S"], meta["R"], meta["Tc"], meta["V"]
+    M, X = meta["M"], meta["X"]
+    return dict(
+        sph=12 * S if S else 1,
+        rect=17 * R if R else 1,
+        tri=20 * Tc if Tc else 1,
+        vol=16 * V if V else 1,
+        mat=3 * M,
+        tex=8 * X,
+        cam=21,
+    )
+
+
+def diff_indices(meta):
+    """Static per-table entry indices that receive cotangents — exactly the
+    TrainParams set (parallel/train.py): sph_c0, sph_radius, tri_m,
+    mat_param, tex_c0, tex_c1."""
+    S, Tc, M, X = meta["S"], meta["Tc"], meta["M"], meta["X"]
+    return dict(
+        sph=list(range(0, 3 * S)) + list(range(9 * S, 10 * S)),
+        tri=list(range(0, 3 * Tc)),
+        mat=list(range(M, 2 * M)),
+        tex=list(range(X, 7 * X)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step math (shared by forward kernel and the vjp replay in backward)
+# ---------------------------------------------------------------------------
+
+
+def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
+                     claim_limit, tabs, camv, ptab, pix, sampbase,
+                     t_step, f, i, keys):
+    """One scan step on lane tiles: bounce + completion merge + regen.
+
+    `f` is a tuple of NF float rows, `i` of NJ int rows, `keys` u32.
+    Returns (f', i', keys'). All scene-table args indexable by static ints.
+    """
+    n_off = sq_off * sq_off
+    summ = V3(f[A_SUM], f[A_SUM + 1], f[A_SUM + 2])
+    ro = V3(f[A_RO], f[A_RO + 1], f[A_RO + 2])
+    rd = V3(f[A_RD], f[A_RD + 1], f[A_RD + 2])
+    time = f[A_TIME]
+    beta = V3(f[A_BETA], f[A_BETA + 1], f[A_BETA + 2])
+    radiance = V3(f[A_RAD], f[A_RAD + 1], f[A_RAD + 2])
+    alive = f[A_ALIVE] > 0.0
+    nvalid = f[A_NV]
+    rays_ct = f[A_RAYS] + jnp.where(alive, 1.0, 0.0)
+    count = i[J_COUNT]
+    inside = i[J_INSIDE]
+    depth = i[J_DEPTH]
+
+    keys_b = B._fold(keys, depth)
+    depth_ok = depth < max_bounces
+
+    b = B.bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b)
+    scattered = depth_ok & ~b.is_light
+    add_emitted = ~(scattered & b.is_specular)
+    safe_t = b.safe_t
+    zero3 = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
+    ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
+               jnp.ones_like(safe_t))
+
+    miss = alive & ~b.hit
+    bg = B.background_color(meta, rd, safe_t)
+    radiance = radiance + B._vwhere(miss, beta * bg, zero3)
+    emit_mask = alive & b.hit & add_emitted
+    radiance = radiance + B._vwhere(emit_mask, beta * b.emitted, zero3)
+    cont = alive & b.hit & scattered
+    beta = B._vwhere(cont, beta * b.weight, beta)
+    cont = cont & ((beta.x > 0.0) | (beta.y > 0.0) | (beta.z > 0.0))
+
+    # completion: fold the finished sample into (sum, nvalid) with the
+    # all-channel finite mask (the loss's done & isfinite, render NaN rule)
+    finished = alive & ~cont
+    finite = (jnp.isfinite(radiance.x) & jnp.isfinite(radiance.y)
+              & jnp.isfinite(radiance.z))
+    take = finished & finite
+    summ = summ + B._vwhere(take, radiance, zero3)
+    nvalid = nvalid + jnp.where(take, 1.0, 0.0)
+    count = jnp.where(finished, count + 1, count)
+
+    # regeneration: claim the lane's next sample while the claim window is
+    # open (started items always finish within the scan)
+    regen = finished & (count < spp) & (t_step < claim_limit)
+    samp = sampbase + count
+    new_keys = B._ray_key(pix, samp.astype(jnp.uint32))
+    ci = samp % n_off
+    off_x = ((ci // sq_off).astype(jnp.float32) + 0.5) / sq_off
+    off_y = ((ci % sq_off).astype(jnp.float32) + 0.5) / sq_off
+    xpix = (pix % width).astype(jnp.int32).astype(jnp.float32)
+    ypix = (pix // width).astype(jnp.int32).astype(jnp.float32)
+    ss = (xpix + off_x) / width
+    tt = (ypix + off_y) / height
+    new_ro, new_rd, new_time = B.camera_ray(camv, ss, tt, new_keys, safe_t)
+
+    out_ro = B._vwhere(regen, new_ro, B._vwhere(cont, b.p, ro))
+    out_rd = B._vwhere(regen, new_rd, B._vwhere(cont, b.new_rd, rd))
+    out_time = jnp.where(regen, new_time, time)
+    out_inside = jnp.where(regen, 0, jnp.where(cont, b.new_inside, inside))
+    out_beta = B._vwhere(regen, ones3, beta)
+    out_rad = B._vwhere(regen, zero3, radiance)
+    out_depth = jnp.where(regen, 0, depth + 1)
+    out_alive = (cont | regen).astype(jnp.float32)
+    out_keys = jnp.where(regen, new_keys, keys)
+
+    f_out = (summ.x, summ.y, summ.z,
+             out_ro.x, out_ro.y, out_ro.z,
+             out_rd.x, out_rd.y, out_rd.z,
+             out_time,
+             out_beta.x, out_beta.y, out_beta.z,
+             out_rad.x, out_rad.y, out_rad.z,
+             out_alive, nvalid, rays_ct)
+    i_out = (count, out_inside, out_depth)
+    return f_out, i_out, out_keys
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
+                     claim_limit):
+    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+               ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref, sb_ref,
+               fo_ref, io_ref, ko_ref):
+        tabs = (sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref)
+        t_step = misc_ref[0].astype(jnp.int32)
+        pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
+        sampbase = jax.lax.bitcast_convert_type(sb_ref[:], jnp.int32)
+        f = tuple(f_ref[r] for r in range(NF))
+        i = tuple(
+            jax.lax.bitcast_convert_type(i_ref[r], jnp.int32)
+            for r in range(NJ))
+        keys = jax.lax.bitcast_convert_type(k_ref[:], jnp.uint32)
+        f_out, i_out, k_out = _pixel_step_math(
+            meta, width, height, sq_off, max_bounces, spp, claim_limit,
+            tabs, cam_ref, ptab_ref, pix, sampbase, t_step, f, i, keys)
+        fo_ref[:] = jnp.stack(f_out)
+        io_ref[:] = jnp.stack([
+            jax.lax.bitcast_convert_type(r, jnp.float32) for r in i_out])
+        ko_ref[:] = jax.lax.bitcast_convert_type(k_out, jnp.float32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: replay under jax.vjp
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
+                     claim_limit, lens, didx, n_diff):
+    perlin = meta["perlin"]
+
+    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+               ptab_ref, misc_ref, fr_ref, i_ref, k_ref, pix_ref, sb_ref,
+               cf_ref, dci_f_ref, dtab_ref):
+        t_step = misc_ref[0].astype(jnp.int32)
+        pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
+        sampbase = jax.lax.bitcast_convert_type(sb_ref[:], jnp.int32)
+        i = tuple(
+            jax.lax.bitcast_convert_type(i_ref[r], jnp.int32)
+            for r in range(NJ))
+        keys = jax.lax.bitcast_convert_type(k_ref[:], jnp.uint32)
+        # saved residual rows -> full fstate (sum/nvalid/rays enter linearly;
+        # zeros leave the pullback unchanged)
+        zero = jnp.zeros_like(fr_ref[0])
+        res = tuple(fr_ref[r] for r in range(RES_HI - RES_LO))
+        f_in = (zero, zero, zero) + res + (zero, zero)
+
+        # read every scene scalar; Perlin tiles as values (constants under
+        # vjp — integer-indexed gathers contribute no operand cotangent)
+        sph_l = [sph_ref[n] for n in range(lens["sph"])]
+        rect_l = [rect_ref[n] for n in range(lens["rect"])]
+        tri_l = [tri_ref[n] for n in range(lens["tri"])]
+        vol_l = [vol_ref[n] for n in range(lens["vol"])]
+        mat_l = [mat_ref[n] for n in range(lens["mat"])]
+        tex_l = [tex_ref[n] for n in range(lens["tex"])]
+        cam_l = [cam_ref[n] for n in range(lens["cam"])]
+        ptab_v = ptab_ref[:] if perlin else ptab_ref
+
+        diff_vals = tuple(
+            [sph_l[n] for n in didx["sph"]] + [tri_l[n] for n in didx["tri"]]
+            + [mat_l[n] for n in didx["mat"]] + [tex_l[n] for n in didx["tex"]]
+        )
+        n_s, n_t = len(didx["sph"]), len(didx["tri"])
+        n_m = len(didx["mat"])
+
+        def fdiff(dv, f):
+            sph2 = list(sph_l)
+            tri2 = list(tri_l)
+            mat2 = list(mat_l)
+            tex2 = list(tex_l)
+            o = 0
+            for j, n in enumerate(didx["sph"]):
+                sph2[n] = dv[o + j]
+            o += n_s
+            for j, n in enumerate(didx["tri"]):
+                tri2[n] = dv[o + j]
+            o += n_t
+            for j, n in enumerate(didx["mat"]):
+                mat2[n] = dv[o + j]
+            o += n_m
+            for j, n in enumerate(didx["tex"]):
+                tex2[n] = dv[o + j]
+            tabs = (sph2, rect_l, tri2, vol_l, mat2, tex2)
+            f_out, _, _ = _pixel_step_math(
+                meta, width, height, sq_off, max_bounces, spp, claim_limit,
+                tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys)
+            return f_out
+
+        _, pull = jax.vjp(fdiff, diff_vals, f_in)
+        cot_f = tuple(cf_ref[r] for r in range(NF))
+        d_dv, d_f = pull(cot_f)
+
+        dci_f_ref[:] = jnp.stack(d_f)
+        for j in range(n_diff):
+            dtab_ref[0, j] = d_dv[j]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp step (cached per configuration)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
+              interpret):
+    """Returns step(tables..., fstate, istate_f, keys_f, pix_f, sb_f, t_f)
+    -> (fstate', istate_f', keys_f') with a fused custom VJP.
+
+    Integer lane rows ride bitcast to f32 so every custom_vjp leaf is float
+    (their cotangents are structural zeros)."""
+    meta_d = dict(meta)
+    lens = table_lengths(meta_d)
+    didx = diff_indices(meta_d)
+    n_diff = sum(len(v) for v in didx.values())
+    fwd_kernel = _make_fwd_kernel(meta_d, width, height, sq_off, max_bounces,
+                                  spp, claim_limit)
+    bwd_kernel = _make_bwd_kernel(meta_d, width, height, sq_off, max_bounces,
+                                  spp, claim_limit, lens, didx, n_diff)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ptab_spec = pl.BlockSpec((96, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec3 = lambda rows: pl.BlockSpec((rows, BLOCK_ROWS, 128),
+                                      lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((BLOCK_ROWS, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f):
+        r128 = fstate.shape[1]
+        misc = jnp.stack([t_f])
+        fo, io, ko = pl.pallas_call(
+            fwd_kernel,
+            grid=(r128 // BLOCK_ROWS,),
+            in_specs=([smem] * 7 + [ptab_spec, smem]
+                      + [spec3(NF), spec3(NJ), spec2, spec2, spec2]),
+            out_specs=[spec3(NF), spec3(NJ), spec2],
+            out_shape=[
+                jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((NJ, r128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((r128, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*tables, misc, fstate, istate_f, keys_f, pix_f, sb_f)
+        return fo, io, ko
+
+    def run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f, cot_f):
+        r128 = f_res.shape[1]
+        nblocks = r128 // BLOCK_ROWS
+        misc = jnp.stack([t_f])
+        dtab_spec = pl.BlockSpec((1, n_diff), lambda b: (b, 0),
+                                 memory_space=pltpu.SMEM)
+        d_f, d_tab = pl.pallas_call(
+            bwd_kernel,
+            grid=(nblocks,),
+            in_specs=([smem] * 7 + [ptab_spec, smem]
+                      + [spec3(RES_HI - RES_LO), spec3(NJ), spec2, spec2,
+                         spec2, spec3(NF)]),
+            out_specs=[spec3(NF), dtab_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nblocks, n_diff), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*tables, misc, f_res, istate_f, keys_f, pix_f, sb_f, cot_f)
+        return d_f, d_tab.sum(axis=0)
+
+    @jax.custom_vjp
+    def step(sph, rect, tri, vol, mat, tex, camv, ptab,
+             fstate, istate_f, keys_f, pix_f, sb_f, t_f):
+        tables = (sph, rect, tri, vol, mat, tex, camv, ptab)
+        return run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
+
+    def step_fwd(sph, rect, tri, vol, mat, tex, camv, ptab,
+                 fstate, istate_f, keys_f, pix_f, sb_f, t_f):
+        tables = (sph, rect, tri, vol, mat, tex, camv, ptab)
+        out = run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
+        res = (tables, fstate[RES_LO:RES_HI], istate_f, keys_f, pix_f, sb_f,
+               t_f)
+        return out, res
+
+    def step_bwd(res, cots):
+        tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f = res
+        cot_f, _cot_i, _cot_k = cots
+        d_f, d_flat = run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f,
+                              t_f, cot_f)
+        # cotangent pass-through for the rows excluded from the residual:
+        # sum/nvalid/rays enter the step additively (identity pullback)
+        d_f = d_f.at[A_SUM:A_SUM + 3].add(cot_f[A_SUM:A_SUM + 3])
+        d_f = d_f.at[A_NV].add(cot_f[A_NV])
+        d_f = d_f.at[A_RAYS].add(cot_f[A_RAYS])
+        # scatter the flat diff cotangents back into zero tables
+        o = 0
+        zt = lambda a: jnp.zeros_like(a)
+        sph, rect, tri, vol, mat, tex, camv, ptab = tables
+        d_sph = zt(sph)
+        if didx["sph"]:
+            d_sph = d_sph.at[jnp.asarray(didx["sph"])].set(
+                d_flat[o:o + len(didx["sph"])])
+        o += len(didx["sph"])
+        d_tri = zt(tri)
+        if didx["tri"]:
+            d_tri = d_tri.at[jnp.asarray(didx["tri"])].set(
+                d_flat[o:o + len(didx["tri"])])
+        o += len(didx["tri"])
+        d_mat = zt(mat)
+        if didx["mat"]:
+            d_mat = d_mat.at[jnp.asarray(didx["mat"])].set(
+                d_flat[o:o + len(didx["mat"])])
+        o += len(didx["mat"])
+        d_tex = zt(tex)
+        if didx["tex"]:
+            d_tex = d_tex.at[jnp.asarray(didx["tex"])].set(
+                d_flat[o:o + len(didx["tex"])])
+        return (d_sph, zt(rect), d_tri, zt(vol), d_mat, d_tex, zt(camv),
+                zt(ptab), d_f, zt(istate_f), zt(keys_f), zt(pix_f), zt(sb_f),
+                jnp.zeros_like(t_f))
+
+    step.defvjp(step_fwd, step_bwd)
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Public entry: differentiable per-pixel sample sums
+# ---------------------------------------------------------------------------
+
+
+def can_fuse_ad(scene: T.SceneData) -> bool:
+    return B.can_fuse(scene)
+
+
+def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
+                            max_bounces, sq_off=8, scan_steps=0,
+                            interpret=False):
+    """Differentiable (finite-radiance sum, valid count) per pixel over `spp`
+    consecutive samples starting at `samp_base`, via the fused step kernels.
+
+    pix: (N,) u32 pixel ids; samp_base: () or (N,) i32 absolute sample index
+    of each lane's first sample. Stratified offsets are the analytic
+    sq_off^2 grid indexed by (sample % sq_off^2) — identical to indexing
+    integrator.sample_offsets(sq_off^2) rows mod table size.
+
+    Returns (sum V3 (N,), nvalid (N,), rays_traced ()).
+    """
+    from miniraytracer_tpu.models import camera as cam_mod
+    from miniraytracer_tpu.ops import rng as rng_mod
+
+    meta_d, tables = B.pack_scene(scene)
+    meta = tuple(sorted(meta_d.items()))
+    if scan_steps <= 0:
+        scan_steps = spp * 6 + max_bounces + 1
+    claim_limit = scan_steps - (max_bounces + 1)
+    assert claim_limit >= 0, (scan_steps, max_bounces)
+
+    n = pix.shape[0]
+    rem = (-n) % (BLOCK_ROWS * 128)
+    n_pad = n + rem
+    pix_p = jnp.concatenate([pix.astype(jnp.uint32),
+                             jnp.zeros((rem,), jnp.uint32)]) if rem else (
+        pix.astype(jnp.uint32))
+    sb = jnp.broadcast_to(jnp.asarray(samp_base, jnp.int32).reshape(-1),
+                          (n,)).astype(jnp.int32)
+    sb_p = jnp.concatenate([sb, jnp.zeros((rem,), jnp.int32)]) if rem else sb
+
+    # initial camera rays (sample slot 0) — plain XLA, non-differentiable
+    n_off = sq_off * sq_off
+    keys0 = rng_mod.ray_key(pix_p, sb_p.astype(jnp.uint32))
+    ci = sb_p % n_off
+    off_x = ((ci // sq_off).astype(jnp.float32) + 0.5) / sq_off
+    off_y = ((ci % sq_off).astype(jnp.float32) + 0.5) / sq_off
+    x = (pix_p % width).astype(jnp.float32)
+    y = (pix_p // width).astype(jnp.float32)
+    rays0 = cam_mod.get_rays(scene.camera, (x + off_x) / width,
+                             (y + off_y) / height, keys0)
+
+    r128 = n_pad // 128
+    t2 = lambda a: a.reshape(r128, 128)
+    zero = jnp.zeros((n_pad,), jnp.float32)
+    one = jnp.ones((n_pad,), jnp.float32)
+    alive0 = jnp.where((jnp.arange(n_pad) < n) & (spp > 0), 1.0, 0.0)
+    fstate = jnp.stack([t2(a) for a in (
+        zero, zero, zero,
+        rays0.ro.x, rays0.ro.y, rays0.ro.z,
+        rays0.rd.x, rays0.rd.y, rays0.rd.z,
+        rays0.time, one, one, one, zero, zero, zero, alive0, zero, zero)])
+    izero = jnp.zeros((n_pad,), jnp.int32)
+    istate = jnp.stack([t2(a) for a in (izero, rays0.inside, izero)])
+
+    bc = jax.lax.bitcast_convert_type
+    istate_f = bc(istate, jnp.float32)
+    keys_f = bc(t2(keys0), jnp.float32)
+    pix_f = bc(t2(pix_p), jnp.float32)
+    sb_f = bc(t2(sb_p), jnp.float32)
+
+    step = _get_step(meta, width, height, sq_off, max_bounces, spp,
+                     claim_limit, interpret)
+    sph, rect, tri, vol, mat, tex, camv, ptab = tables
+
+    def body(carry, t_f):
+        f, i, k = carry
+        f, i, k = step(sph, rect, tri, vol, mat, tex, camv, ptab,
+                       f, i, k, pix_f, sb_f, t_f)
+        return (f, i, k), None
+
+    (fstate, _, _), _ = jax.lax.scan(
+        body, (fstate, istate_f, keys_f),
+        jnp.arange(scan_steps, dtype=jnp.float32))
+
+    flat = lambda a: a.reshape(-1)[:n]
+    summ = V3(flat(fstate[A_SUM]), flat(fstate[A_SUM + 1]),
+              flat(fstate[A_SUM + 2]))
+    nvalid = flat(fstate[A_NV])
+    rays = jnp.sum(fstate[A_RAYS])
+    return summ, nvalid, rays
