@@ -82,6 +82,12 @@ def main():
                          "spp_step x the lanes in one scan amortizes per-op "
                          "dispatch overhead. Default from the on-chip joint "
                          "sweep (round 2).")
+    ap.add_argument("--fused-ad", type=str, default="auto",
+                    choices=["auto", "on", "off"],
+                    help="use the fused custom-VJP bounce step "
+                         "(ops/bounce_ad) for the train step when the scene "
+                         "is fuse-eligible (auto), always (on), or never "
+                         "(off).")
     ap.add_argument("--scene", type=str, default="cornell_box")
     ap.add_argument("--wait-minutes", type=float, default=12.0,
                     help="how long to wait for the TPU tunnel before falling "
@@ -153,9 +159,13 @@ def main():
     jax.block_until_ready(frame)
 
     # ---- forward+backward training step (headline) ----
+    from miniraytracer_tpu.ops import bounce_ad
+
+    fused = (args.fused_ad == "on"
+             or (args.fused_ad == "auto" and bounce_ad.can_fuse_ad(scene)))
     step = make_train_step(mesh, width=W, height=H, max_bounces=B,
                            pack=args.pack, scan_steps=args.scan_steps,
-                           spp_step=args.spp_step)
+                           spp_step=args.spp_step, fused_ad=fused)
     params = extract_params(scene)
     target = frame  # use the partially converged render as the target
     lr = jnp.float32(0.0)
@@ -167,7 +177,16 @@ def main():
     # one step renders spp_step samples per pixel; discount the (tiny)
     # fraction of items the claim-gated scan leaves unstarted so the
     # reported rays are what was actually traced, not the nominal budget
-    if args.pack > 1:
+    if fused:
+        # the fused step reports its own exact traced-ray counter; nvalid
+        # gives the completed-sample fraction directly
+        pix_all = jnp.arange(W * H, dtype=jnp.uint32)
+        _sum, nv, step_rays = bounce_ad.sample_pixel_sums_fused(
+            scene, pix_all, 0, args.spp_step, width=W, height=H,
+            max_bounces=B, scan_steps=args.scan_steps)
+        done_frac = float(nv.sum()) / (W * H * args.spp_step)
+        scan_rays = float(step_rays)
+    elif args.pack > 1:
         # replicate the step's exact item list (pixels x spp_step samples)
         pix_all = jnp.tile(jnp.arange(W * H, dtype=jnp.uint32), args.spp_step)
         samp_all = jnp.repeat(
@@ -190,7 +209,8 @@ def main():
         done_frac = float(done_mask.mean())
     else:
         done_frac = 1.0
-    scan_rays = float(scan_rays) * args.spp_step * done_frac
+    if not fused:
+        scan_rays = float(scan_rays) * args.spp_step * done_frac
     # two warmup steps: the second compiles the steady-state layout (fed-back
     # params carry jit-decided shardings that differ from the host arrays)
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
@@ -218,6 +238,7 @@ def main():
             "scene": scene.name,
             "pack": args.pack,
             "spp_step": args.spp_step,
+            "fused_ad": fused,
             "done_frac": round(done_frac, 5),
         },
     }

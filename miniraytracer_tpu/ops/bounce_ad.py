@@ -381,11 +381,12 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         cot_f, _cot_i, _cot_k = cots
         d_f, d_flat = run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f,
                               t_f, cot_f)
-        # cotangent pass-through for the rows excluded from the residual:
-        # sum/nvalid/rays enter the step additively (identity pullback)
-        d_f = d_f.at[A_SUM:A_SUM + 3].add(cot_f[A_SUM:A_SUM + 3])
-        d_f = d_f.at[A_NV].add(cot_f[A_NV])
-        d_f = d_f.at[A_RAYS].add(cot_f[A_RAYS])
+        # NOTE: no extra pass-through for the sum/nvalid/rays rows excluded
+        # from the residual — the vjp replay feeds them as zeros, and since
+        # they enter the step ADDITIVELY their pullback is the identity
+        # regardless of value, so d_f already carries cot_f for those rows.
+        # (Adding cot_f again doubled the sum-row cotangent per scan step:
+        # caught by tests/test_bounce_ad.py grad-parity.)
         # scatter the flat diff cotangents back into zero tables
         o = 0
         zt = lambda a: jnp.zeros_like(a)

@@ -64,7 +64,8 @@ def apply_params(scene: T.SceneData, p: TrainParams) -> T.SceneData:
 
 @lru_cache(maxsize=16)
 def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
-               pack: int = 1, scan_steps: int = 0, spp_step: int = 1):
+               pack: int = 1, scan_steps: int = 0, spp_step: int = 1,
+               fused_ad: bool = False, interpret: bool = False):
     ndp = mesh.shape["dp"]
     nsp = mesh.shape["sp"]
     n_pix = width * height
@@ -90,6 +91,31 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
         pix = jnp.minimum(pix, jnp.uint32(n_pix - 1))
         sp_i = jax.lax.axis_index("sp")
         offset = offset_all[sp_i % offset_all.shape[0]]
+
+        if fused_ad:
+            # fused custom-VJP bounce step (ops/bounce_ad): one Pallas kernel
+            # per scan step forward, one vjp-replay kernel backward. Lane =
+            # pixel tracing spp_step sequential samples; per-lane output is
+            # exactly the (finite sum, valid count) the SSE below consumes.
+            # Same (pixel, sample) -> RNG key mapping as the packed branch,
+            # so the estimator (and its gradient targets) are unchanged.
+            from miniraytracer_tpu.ops import bounce_ad
+
+            samp_base = sample0 * spp_step + sp_i * spp_step
+            summ, nv, _rays = bounce_ad.sample_pixel_sums_fused(
+                scene, pix, samp_base, spp_step,
+                width=width, height=height, max_bounces=max_bounces,
+                scan_steps=scan_steps, interpret=interpret,
+            )
+            sum3 = jnp.stack([summ.x, summ.y, summ.z], axis=-1)
+            n_valid = jax.lax.psum(
+                jnp.broadcast_to(nv[:, None], sum3.shape), "sp")
+            mean_color = jax.lax.psum(sum3, "sp") / jnp.maximum(n_valid, 1.0)
+            err = jnp.where(
+                in_image[:, None] & (n_valid > 0), mean_color - target_l, 0.0
+            )
+            sse = jnp.sum(err * err)
+            return jax.lax.psum(sse, ("dp", "sp"))
 
         if pack > 1:
             # packed regeneration-in-scan: ~pack items per lane instead of
@@ -187,7 +213,8 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
 
 
 def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
-                    pack: int = 1, scan_steps: int = 0, spp_step: int = 1):
+                    pack: int = 1, scan_steps: int = 0, spp_step: int = 1,
+                    fused_ad: bool = False, interpret: bool = False):
     """Jitted SPMD train step.
 
     step(params, scene, target, sample0, offsets, lr)
@@ -207,6 +234,12 @@ def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
     loss then compares the spp_step*nsp-sample pixel mean against the
     target (lower-variance gradients), and each step consumes
     nsp*spp_step consecutive sample indices.
+
+    `fused_ad=True` swaps the scan body for the fused custom-VJP Pallas
+    kernel pair (ops/bounce_ad) — estimator- and gradient-equal to the
+    packed path (tests/test_bounce_ad.py), one lane per pixel tracing
+    spp_step sequential samples. Requires bounce_ad.can_fuse_ad(scene)
+    (small const/checker/perlin scenes, TPU backend); `pack` is ignored.
     """
     return _make_step(mesh, width, height, max_bounces, pack, scan_steps,
-                      spp_step)
+                      spp_step, fused_ad, interpret)

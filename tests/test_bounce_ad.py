@@ -1,0 +1,144 @@
+"""Fused custom-VJP bounce step (ops/bounce_ad.py) vs the XLA packed AD path.
+
+The fused AD path replaces the scan BODY of integrator.sample_radiance_packed
+with a Pallas kernel pair (forward step + vjp-replay backward). These tests
+demand:
+
+- estimator equality of the per-pixel (finite sum, valid count) forward
+  against folding sample_radiance_packed's per-item radiance (same
+  counter-keyed RNG per (pixel, sample) — reference trace() semantics,
+  main.cpp:66-118, keep-lanes-busy queue work_queue.cpp:158-175);
+- gradient equality of an SSE loss w.r.t. the full TrainParams set
+  (parallel/train.py) against jax.grad through the XLA packed path.
+
+Runs in interpret mode on the CPU test mesh (conftest forces cpu).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miniraytracer_tpu.models import integrator as integ
+from miniraytracer_tpu.models import scenes as S
+from miniraytracer_tpu.models.scenes import SceneBuilder
+from miniraytracer_tpu.ops import bounce_ad
+from miniraytracer_tpu.parallel.train import apply_params, extract_params
+
+
+def _sphere_light_scene():
+    """Small scene exercising every TrainParams leaf: spheres (center/radius
+    grads), a box (triangle base-vertex grads), metal gloss + light scale
+    (mat_param), const + checker textures (tex_c0/c1)."""
+    b = SceneBuilder()
+    b.name = "ad_scene"
+    b.set_camera([0, 2, 6], [0, 0.8, 0], [0, 1, 0], 45.0, 1.0,
+                 aperture=0.0, focus_dist=6.0, t0=0.0, t1=0.0)
+    ground = b.lambertian(b.tex_checker([0.2, 0.3, 0.1], [0.9, 0.9, 0.9], 10.0))
+    b.sphere([0, -1000, 0], 1000, ground)
+    b.sphere([-1.1, 0.6, 0], 0.6, b.lambertian(b.tex_const([0.7, 0.3, 0.3])))
+    b.sphere([1.1, 0.5, 0.3], 0.5, b.metal(b.tex_const([0.8, 0.8, 0.9]), 0.6))
+    b.box([-0.5, 0.0, -1.5], [0.5, 1.2, -0.7],
+          b.lambertian(b.tex_const([0.4, 0.6, 0.8])))
+    lm = b.diffuse_light(b.tex_const([1.0, 1.0, 1.0]), 7.0)
+    ls = b.sphere([0, 4.0, 1.0], 0.8, lm)
+    b.add_light(ls)
+    b.use_sky = True
+    return b.build()
+
+
+def _fold_packed(scene, pix, spp, W, H, B, scan_steps):
+    """(sum, nvalid) per pixel from the XLA packed renderer on the SAME
+    (pixel, sample) item set the fused path owns per lane."""
+    n = pix.shape[0]
+    samp = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n)
+    pix_items = jnp.tile(pix, spp)
+    offs, _ = integ.sample_offsets(64)
+    off_items = offs[samp % offs.shape[0]]
+    pack = spp
+    pad = (-pix_items.shape[0]) % pack
+    if pad:
+        pix_items = jnp.concatenate(
+            [pix_items, jnp.full((pad,), pix[-1], jnp.uint32)])
+        samp = jnp.concatenate([samp, samp[-1:].repeat(pad)])
+        off_items = jnp.concatenate(
+            [off_items, jnp.broadcast_to(off_items[-1:], (pad, 2))])
+    rad, done, rays = integ.sample_radiance_packed(
+        scene, pix_items, samp, off_items, width=W, height=H,
+        max_bounces=B, pack=pack, scan_steps=scan_steps)
+    rad3 = rad.arr[:n * spp].reshape(spp, n, 3)
+    done = done[:n * spp].reshape(spp, n, 1)
+    val = done & jnp.isfinite(rad3).all(axis=-1, keepdims=True)
+    summ = jnp.where(val, rad3, 0.0).sum(axis=0)
+    nv = val.astype(jnp.float32).sum(axis=0)[:, 0]
+    return summ, nv, done
+
+
+def _scan_steps(spp, bounces):
+    # every sample completes: worst case spp chained max-depth paths per lane
+    return spp * (bounces + 1) + 2
+
+
+@pytest.mark.parametrize("scene_fn", [S.cornell_box, _sphere_light_scene])
+def test_fused_ad_forward_matches_packed(scene_fn):
+    scene = scene_fn(1.0) if scene_fn is S.cornell_box else scene_fn()
+    W = H = 12
+    spp, B = 2, 6
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sum_x, nv_x, done = _fold_packed(scene, pix, spp, W, H, B, steps)
+    assert bool(done.all()), "packed reference run must fully complete"
+    sum_f, nv_f, rays = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H, max_bounces=B,
+        scan_steps=steps, interpret=True)
+    np.testing.assert_array_equal(np.asarray(nv_f), np.asarray(nv_x))
+    d = np.abs(np.stack([sum_f.x, sum_f.y, sum_f.z], -1) -
+               np.asarray(sum_x)).max()
+    assert d < 1e-5, f"max sum diff {d}"
+    assert float(rays) > 0
+
+
+def _loss_fused(params, scene, pix, spp, W, H, B, steps, target):
+    sc = apply_params(scene, params)
+    summ, nv, _ = bounce_ad.sample_pixel_sums_fused(
+        sc, pix, 0, spp, width=W, height=H, max_bounces=B,
+        scan_steps=steps, interpret=True)
+    mean = jnp.stack([summ.x, summ.y, summ.z], -1) / jnp.maximum(nv, 1.0)[:, None]
+    err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+    return jnp.sum(err * err)
+
+
+def _loss_packed(params, scene, pix, spp, W, H, B, steps, target):
+    sc = apply_params(scene, params)
+    summ, nv, _ = _fold_packed(sc, pix, spp, W, H, B, steps)
+    mean = summ / jnp.maximum(nv, 1.0)[:, None]
+    err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+    return jnp.sum(err * err)
+
+
+@pytest.mark.parametrize("scene_fn", [S.cornell_box, _sphere_light_scene])
+def test_fused_ad_grads_match_packed(scene_fn):
+    scene = scene_fn(1.0) if scene_fn is S.cornell_box else scene_fn()
+    W = H = 10
+    spp, B = 2, 6
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    params = extract_params(scene)
+    target = jnp.full((W * H, 3), 0.25, jnp.float32)
+
+    lf, gf = jax.value_and_grad(_loss_fused)(
+        params, scene, pix, spp, W, H, B, steps, target)
+    lx, gx = jax.value_and_grad(_loss_packed)(
+        params, scene, pix, spp, W, H, B, steps, target)
+
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    any_nonzero = False
+    for name, a, b in zip(gf._fields, gf, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), f"{name}: non-finite fused grad"
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"TrainParams.{name} cotangent mismatch")
+        any_nonzero |= bool(np.abs(b).max() > 0)
+    assert any_nonzero, "degenerate test: all reference grads are zero"
