@@ -408,7 +408,14 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
                 back_ok = ok & (inside > 0) & (t_back > TMIN) & (t_back < best_t)
                 tc = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
                 better = front_ok | back_ok
-                p_hit = ro + rd * tc
+                # guard the miss lanes' INF before the multiply: ro + rd*INF is
+                # Inf/NaN (0*INF), and although _vwhere masks the primal, the
+                # pullback of _normalize over a NaN primal is NaN even under a
+                # zero cotangent — it then reaches d_ro/d_rd through p_hit and
+                # poisons every differentiable-table gradient in the fused AD
+                # path (caught by tests/test_bounce_ad.py on _sphere_light_scene)
+                tc_safe = jnp.where(better, tc, 1.0)
+                p_hit = ro + rd * tc_safe
                 safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
                 n_c = _normalize((p_hit - cen) * (1.0 / safe_rad))
                 best_t = jnp.where(better, tc, best_t)

@@ -286,8 +286,16 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
         d_dv, d_f = pull(cot_f)
 
         dci_f_ref[:] = jnp.stack(d_f)
+        # Accumulate the per-block table cotangents into ONE (1, n_diff) SMEM
+        # block shared across the (sequential) TPU grid. A per-block output of
+        # shape (nblocks, n_diff) with block (1, n_diff) is NOT Mosaic-lowerable
+        # (sublane block dim must be divisible by 8 or equal the array dim —
+        # this crashed the round-2 bench on the real chip); a grid-resident
+        # accumulator block equal to the whole array is.
+        first = pl.program_id(0) == 0
         for j in range(n_diff):
-            dtab_ref[0, j] = d_dv[j]
+            prev = jnp.where(first, 0.0, dtab_ref[0, j])
+            dtab_ref[0, j] = prev + d_dv[j]
 
     return kernel
 
@@ -345,7 +353,7 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         r128 = f_res.shape[1]
         nblocks = r128 // BLOCK_ROWS
         misc = jnp.stack([t_f])
-        dtab_spec = pl.BlockSpec((1, n_diff), lambda b: (b, 0),
+        dtab_spec = pl.BlockSpec((1, n_diff), lambda b: (0, 0),
                                  memory_space=pltpu.SMEM)
         d_f, d_tab = pl.pallas_call(
             bwd_kernel,
@@ -356,11 +364,11 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
             out_specs=[spec3(NF), dtab_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
-                jax.ShapeDtypeStruct((nblocks, n_diff), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_diff), jnp.float32),
             ],
             interpret=interpret,
         )(*tables, misc, f_res, istate_f, keys_f, pix_f, sb_f, cot_f)
-        return d_f, d_tab.sum(axis=0)
+        return d_f, d_tab[0]
 
     @jax.custom_vjp
     def step(sph, rect, tri, vol, mat, tex, camv, ptab,
