@@ -50,9 +50,12 @@ def build_parser():
     p.add_argument("-out", type=str, default="render.png", help="output image path (.png or .ppm)")
     p.add_argument("-tonemap", type=str, default="drago", choices=["drago", "reinhard", "gamma", "linear"])
     p.add_argument("-renderer", type=str, default=None,
-                   choices=["wavefront", "progressive", "workqueue"],
+                   choices=["wavefront", "progressive", "workqueue",
+                            "hybrid", "auto"],
                    help="override -mode's renderer choice (workqueue = "
-                        "throughput mode with a global sample queue)")
+                        "throughput mode with a global sample queue; "
+                        "hybrid = flash intersection + fused Pallas step "
+                        "kernel; auto = measured per-scene heuristic)")
     p.add_argument("-preview", type=str, default=None,
                    help="progressive mode: write a tone-mapped preview PNG "
                         "here at every checkpoint interval (the headless "
@@ -129,6 +132,23 @@ def main(argv=None):
         )
         import numpy as _np
 
+        frame = _np.asarray(frame)
+    elif renderer in ("hybrid", "auto"):
+        import numpy as _np
+
+        if renderer == "hybrid":
+            from miniraytracer_tpu.ops.hybrid import render_wavefront_hybrid
+
+            frame, stats = render_wavefront_hybrid(
+                scene, args.width, args.height, args.samples,
+                max_bounces=args.depth, max_lum=args.maxlum,
+            )
+        else:
+            print(f"auto renderer: {integ.pick_renderer(scene)}")
+            frame, stats = integ.render_auto(
+                scene, args.width, args.height, args.samples,
+                max_bounces=args.depth, max_lum=args.maxlum,
+            )
         frame = _np.asarray(frame)
     elif renderer == "wavefront":
         frame, stats = render_wavefront_distributed(

@@ -803,12 +803,22 @@ def pick_renderer(scene: T.SceneData) -> str:
     (ops/bounce.py can_fuse — incl. exact Perlin: perlin_spheres 153-231
     Mrays/s) run the whole wavefront body in one kernel.
     """
-    from miniraytracer_tpu.ops import bounce
+    from miniraytracer_tpu.ops import bounce, hybrid
 
     if bounce.can_fuse(scene):
         return "fused"
     heavy = scene.n_tris + scene.n_spheres
-    return "workqueue" if heavy >= 2000 else "wavefront"
+    if heavy >= 2000:
+        # intersection-dominated: the compacting work queue keeps lanes
+        # ~100% utilized (hybrid's pixel-pinned loop measured slower here:
+        # triangles 2.6 vs 4.1, book2 3.7 vs 4.2 Mrays/s on-chip)
+        return "workqueue"
+    if hybrid.can_hybrid(scene):
+        # shading-dominated scenes the fused kernel can't take (image
+        # textures / 64<prims<2000): one step kernel per bounce beats the
+        # XLA fusion soup (earth 10.7 vs 9.6 Mrays/s on-chip)
+        return "hybrid"
+    return "wavefront"
 
 
 def render_auto(scene, width, height, spp, max_bounces=32, max_lum=1000.0):
@@ -820,6 +830,11 @@ def render_auto(scene, width, height, spp, max_bounces=32, max_lum=1000.0):
         from miniraytracer_tpu.ops import bounce
 
         return bounce.render_wavefront_fused(
+            scene, width, height, spp, max_bounces, max_lum)
+    if which == "hybrid":
+        from miniraytracer_tpu.ops import hybrid
+
+        return hybrid.render_wavefront_hybrid(
             scene, width, height, spp, max_bounces, max_lum)
     return render_wavefront(scene, width, height, spp, max_bounces, max_lum)
 

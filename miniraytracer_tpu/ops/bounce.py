@@ -111,6 +111,7 @@ def pack_scene(scene: T.SceneData):
         lights=tuple(scene.lights), use_sky=bool(scene.use_sky),
         exact_cosine=bool(scene.exact_cosine),
         perlin=bool(scene.has_perlin),
+        image=bool(scene.has_image),
     )
     sph = jnp.concatenate([
         scene.sph_c0.reshape(-1), scene.sph_c1.reshape(-1),
@@ -145,6 +146,10 @@ def pack_scene(scene: T.SceneData):
     tex = jnp.concatenate([
         scene.tex_type.astype(jnp.float32), scene.tex_c0.reshape(-1),
         scene.tex_c1.reshape(-1), scene.tex_scale,
+        # image id per texture (row 8X..9X) — consumed by the hybrid step
+        # kernel (image scenes defer the texel fetch to an XLA gather
+        # between steps); always packed so the table layout is static
+        scene.tex_img.astype(jnp.float32),
     ])
     # perlin permutation/gradient tables, lane-gather layout: each 256-entry
     # table becomes 16 rows of (128,) — rows 0-7 replicate entries [0:128],
@@ -345,17 +350,23 @@ def _turbulence(ptab_ref, p: V3):
 
 
 class BounceOut:
-    """Physics outputs for one bounce (all (rows, 128) lane tiles)."""
+    """Physics outputs for one bounce (all (rows, 128) lane tiles).
+
+    `img_id` is None unless meta["image"]: the winner's image-texture id
+    (-1 = not an image hit) — the caller fetches the texel OUTSIDE the
+    kernel (uv reconstructed from `nrm`, which for spheres equals the
+    reference's (p-c)/radius uv argument, sphere.cpp:6-11) and multiplies
+    it into the path throughput; the kernel shades with albedo == 1."""
 
     __slots__ = ("hit", "safe_t", "p", "nrm", "emitted", "is_light", "is_iso",
-                 "is_specular", "weight", "new_rd", "new_inside")
+                 "is_specular", "weight", "new_rd", "new_inside", "img_id")
 
     def __init__(self, **kw):
         for k, v in kw.items():
             setattr(self, k, v)
 
 
-def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
+def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
     """One bounce of the reference trace() body (main.cpp:66-118): inline
     scene_hit (running-winner record over all primitive types) + shade
     (material dispatch, MIS light sampling) on lane tiles.
@@ -364,8 +375,17 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
     by STATIC python ints (an SMEM ref inside a kernel, or a python list of
     traced scalars — the differentiable kernels pass lists so jax.vjp can
     produce per-entry cotangents). `ptab` is the (96, 128) Perlin tile ref
-    or array. Shared verbatim by the fused render kernel and the
-    differentiable packed kernels so the estimator physics exists ONCE."""
+    or array. Shared verbatim by the fused render kernel, the hybrid step
+    kernel and the differentiable packed kernels so the estimator physics
+    exists ONCE.
+
+    `ext` (hybrid step renderer): an EXTERNAL surface candidate computed by
+    the big-scene flash cluster kernels outside this kernel — a tuple of
+    lane tiles (t, nx, ny, nz, mat_f) with t == INF where there is none. It
+    seeds the running winner before the in-SMEM primitive sweeps, exactly
+    like scene_hit's t_seed chaining; tie rule: an in-kernel sphere beats
+    it only strictly (scene_hit prefers sphere > rect > tri on exact ties —
+    cross-type bit-equal t is measure-zero)."""
     S, R, Tc, V = meta["S"], meta["R"], meta["Tc"], meta["V"]
     M, X = meta["M"], meta["X"]
     lights = meta["lights"]
@@ -377,10 +397,17 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
     if True:  # keep the original kernel-body indentation for the moved code
         if True:
             # ---------------- scene_hit (inline, running-winner record) --------
-            best_t = jnp.full_like(time, INF)
-            # winner record fields, updated whenever a candidate is better
-            w_n = V3(jnp.ones_like(time), jnp.zeros_like(time), jnp.zeros_like(time))
-            w_mat = jnp.zeros_like(inside)
+            if ext is None:
+                best_t = jnp.full_like(time, INF)
+                # winner record fields, updated whenever a candidate is better
+                w_n = V3(jnp.ones_like(time), jnp.zeros_like(time),
+                         jnp.zeros_like(time))
+                w_mat = jnp.zeros_like(inside)
+            else:
+                ext_t, ext_nx, ext_ny, ext_nz, ext_mat = ext
+                best_t = ext_t
+                w_n = V3(ext_nx, ext_ny, ext_nz)
+                w_mat = ext_mat.astype(jnp.int32)
 
             # --- spheres (sphere.cpp:13-46) --- tie rule: sphere first, so '<'
             for si in range(S):
@@ -619,9 +646,32 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
             albedo = _vwhere((ttype == float(T.TEX_CHECKER)) & (sines < 0), c1, c0)
             if perlin:
                 turb = _turbulence(
-                    ptab_ref, V3(p.x * tscale, p.y * tscale, p.z * tscale))
+                    ptab, V3(p.x * tscale, p.y * tscale, p.z * tscale))
                 albedo = _vwhere(ttype == float(T.TEX_PERLIN),
                                  V3(turb, turb, turb), albedo)
+            img_id = None
+            if meta["image"]:
+                # image texel fetched OUTSIDE the kernel (the table is far
+                # beyond the lane-gather width): shade with albedo 1, report
+                # the winner's image id; the caller multiplies the texel
+                # into beta (albedo enters the weight multiplicatively, and
+                # image materials never emit in the supported scene set)
+                iid = jnp.zeros_like(safe_t)
+                for xi in range(X):
+                    iid = jnp.where(tex_id == xi, tex_ref[8 * X + xi], iid)
+                # only materials that CONSUME albedo defer a texel: a
+                # dielectric/light lane whose tex_id merely DEFAULTS to an
+                # image texture (e.g. book2: mat 0 = earth, so glass lanes
+                # land on tex 0) must not get a spurious texel multiplied
+                # into its throughput (dielectric weight is 1 regardless,
+                # material.h:158-173; lights emit, never scatter)
+                uses_albedo = ((mtype != float(T.MAT_DIELECTRIC))
+                               & (mtype != float(T.MAT_DIFFUSE_LIGHT)))
+                is_img = (ttype == float(T.TEX_IMAGE)) & uses_albedo
+                img_id = jnp.where(is_img, iid, -1.0)
+                ones_alb = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
+                              jnp.ones_like(safe_t))
+                albedo = _vwhere(is_img, ones_alb, albedo)
 
             nrm = w_n
             is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)
@@ -823,6 +873,7 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b):
                 hit=hit, safe_t=safe_t, p=p, nrm=nrm, emitted=emitted,
                 is_light=is_light, is_iso=is_iso, is_specular=is_specular,
                 weight=weight, new_rd=new_rd, new_inside=new_inside,
+                img_id=img_id,
             )
 
 
@@ -870,9 +921,112 @@ def camera_ray(cam_ref, ss, tt, new_keys, template):
 # ---------------------------------------------------------------------------
 
 
+def wave_step(meta, tabs, ptab_ref, cam_ref, width, height, sq, max_bounces,
+              max_lum, sample_lo, n_samples, pix, c, ext=None):
+    """ONE wavefront step on a carry tuple: bounce + draw2 merge + lane
+    regeneration (trace body main.cpp:66-118 + the incremental-average
+    merge main.cpp:214-229). Shared by the fused render kernel (which loops
+    it in-kernel) and the hybrid step kernel (one step per launch, with an
+    external surface candidate from the flash cluster kernels).
+
+    `c` is the 22-tuple carry (NF float rows, NI int rows, keys, ray
+    counter). Returns (new carry tuple, BounceOut, cont mask)."""
+    accum = V3(c[R_ACC], c[R_ACC + 1], c[R_ACC + 2])
+    ro = V3(c[R_RO], c[R_RO + 1], c[R_RO + 2])
+    rd = V3(c[R_RD], c[R_RD + 1], c[R_RD + 2])
+    time = c[R_TIME]
+    beta = V3(c[R_BETA], c[R_BETA + 1], c[R_BETA + 2])
+    radiance = V3(c[R_RAD], c[R_RAD + 1], c[R_RAD + 2])
+    alive = c[R_ALIVE] > 0.0
+    count = c[NF + I_COUNT]
+    inside = c[NF + I_INSIDE]
+    depth = c[NF + I_DEPTH]
+    keys = c[NF + NI]
+    rays_ct = c[NF + NI + 1]
+    rays_ct = rays_ct + jnp.where(alive, 1.0, 0.0)
+
+    keys_b = _fold(keys, depth)
+    depth_ok = depth < max_bounces
+
+    b = bounce_physics(meta, tabs, ptab_ref, ro, rd, time, inside, keys_b,
+                       ext=ext)
+    hit, safe_t, p = b.hit, b.safe_t, b.p
+    emitted, weight = b.emitted, b.weight
+    new_rd, new_inside = b.new_rd, b.new_inside
+    scattered = depth_ok & ~b.is_light
+    add_emitted = ~(scattered & b.is_specular)
+
+    # ---------------- advance + merge + regen (wavefront body) ---------
+    miss = alive & ~hit
+    bg = background_color(meta, rd, safe_t)
+    zero3 = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
+    radiance = radiance + _vwhere(miss, beta * bg, zero3)
+    emit_mask = alive & hit & add_emitted
+    radiance = radiance + _vwhere(emit_mask, beta * emitted, zero3)
+    cont = alive & hit & scattered
+    beta = _vwhere(cont, beta * weight, beta)
+    cont = cont & ((beta.x > 0.0) | (beta.y > 0.0) | (beta.z > 0.0))
+
+    finished = alive & ~cont
+    cnt_f = count.astype(jnp.float32)
+    has_prev = count > 0
+    inv_prev = 1.0 / jnp.maximum(cnt_f, 1.0)
+    prev_avg = _vwhere(has_prev, accum * inv_prev, zero3)
+    finite = (jnp.isfinite(radiance.x) & jnp.isfinite(radiance.y)
+              & jnp.isfinite(radiance.z))
+    color = _vwhere(finite, radiance, prev_avg)
+    new_avg = _vwhere(has_prev,
+                      prev_avg + (color - prev_avg) * (1.0 / (cnt_f + 1.0)),
+                      color)
+    lum = 0.212655 * new_avg.x + 0.715158 * new_avg.y + 0.072187 * new_avg.z
+    lscale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
+    new_avg = new_avg * lscale
+    accum = _vwhere(finished, new_avg * (cnt_f + 1.0), accum)
+    count = jnp.where(finished, count + 1, count)
+
+    regen = finished & (count < n_samples)
+    samp = sample_lo + count
+    # camera rays (camera.py get_rays + analytic stratified offsets)
+    new_keys = _ray_key(pix, samp.astype(jnp.uint32))
+    ci = jnp.clip(samp, 0, sq * sq - 1)
+    off_x = ((ci // sq).astype(jnp.float32) + 0.5) / sq
+    off_y = ((ci % sq).astype(jnp.float32) + 0.5) / sq
+    # Mosaic has no u32->f32 cast; hop through i32 (width < 2^31)
+    xpix = (pix % width).astype(jnp.int32).astype(jnp.float32)
+    ypix = (pix // width).astype(jnp.int32).astype(jnp.float32)
+    ss = (xpix + off_x) / width
+    tt = (ypix + off_y) / height
+    new_ro, new_dir, new_time = camera_ray(cam_ref, ss, tt, new_keys, safe_t)
+    ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
+               jnp.ones_like(safe_t))
+
+    out_ro = _vwhere(regen, new_ro, _vwhere(cont, p, ro))
+    out_rd = _vwhere(regen, new_dir, _vwhere(cont, new_rd, rd))
+    out_time = jnp.where(regen, new_time, time)
+    out_inside = jnp.where(regen, 0,
+                           jnp.where(cont, new_inside, inside))
+    out_beta = _vwhere(regen, ones3, beta)
+    out_rad = _vwhere(regen, zero3, radiance)
+    out_depth = jnp.where(regen, 0, depth + 1)
+    out_alive = (cont | regen).astype(jnp.float32)
+    out_keys = jnp.where(regen, new_keys, keys)
+
+    out = (
+        accum.x, accum.y, accum.z,
+        out_ro.x, out_ro.y, out_ro.z,
+        out_rd.x, out_rd.y, out_rd.z,
+        out_time,
+        out_beta.x, out_beta.y, out_beta.z,
+        out_rad.x, out_rad.y, out_rad.z,
+        out_alive,
+        count, out_inside, out_depth,
+        out_keys, rays_ct,
+    )
+    return out, b, cont
+
+
 def _make_kernel(meta, width, height, sq, max_bounces):
     """Build the fused-bounce kernel specialized to the scene's meta."""
-    use_sky = meta["use_sky"]
 
     def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
                ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref,
@@ -899,103 +1053,10 @@ def _make_kernel(meta, width, height, sq, max_bounces):
             return jnp.any(c[R_ALIVE] > 0.0)
 
         def step(c):
-            accum = V3(c[R_ACC], c[R_ACC + 1], c[R_ACC + 2])
-            ro = V3(c[R_RO], c[R_RO + 1], c[R_RO + 2])
-            rd = V3(c[R_RD], c[R_RD + 1], c[R_RD + 2])
-            time = c[R_TIME]
-            beta = V3(c[R_BETA], c[R_BETA + 1], c[R_BETA + 2])
-            radiance = V3(c[R_RAD], c[R_RAD + 1], c[R_RAD + 2])
-            alive = c[R_ALIVE] > 0.0
-            count = c[NF + I_COUNT]
-            inside = c[NF + I_INSIDE]
-            depth = c[NF + I_DEPTH]
-            keys = c[NF + NI]
-            rays_ct = c[NF + NI + 1]
-            rays_ct = rays_ct + jnp.where(alive, 1.0, 0.0)
-
-            keys_b = _fold(keys, depth)
-            depth_ok = depth < max_bounces
-
-            b = bounce_physics(meta, tabs, ptab_ref, ro, rd, time, inside,
-                               keys_b)
-            hit, safe_t, p = b.hit, b.safe_t, b.p
-            emitted, weight = b.emitted, b.weight
-            new_rd, new_inside = b.new_rd, b.new_inside
-            scattered = depth_ok & ~b.is_light
-            add_emitted = ~(scattered & b.is_specular)
-
-            # ---------------- advance + merge + regen (wavefront body) ---------
-            miss = alive & ~hit
-            if use_sky:
-                tsky = 0.5 * (rd.y + 1.0)
-                bg = V3((1.0 - tsky) + tsky * 0.5, (1.0 - tsky) + tsky * 0.7,
-                        (1.0 - tsky) + tsky * 1.0)
-            else:
-                bg = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
-            zero3 = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
-            radiance = radiance + _vwhere(miss, beta * bg, zero3)
-            emit_mask = alive & hit & add_emitted
-            radiance = radiance + _vwhere(emit_mask, beta * emitted, zero3)
-            cont = alive & hit & scattered
-            beta = _vwhere(cont, beta * weight, beta)
-            cont = cont & ((beta.x > 0.0) | (beta.y > 0.0) | (beta.z > 0.0))
-
-            finished = alive & ~cont
-            cnt_f = count.astype(jnp.float32)
-            has_prev = count > 0
-            inv_prev = 1.0 / jnp.maximum(cnt_f, 1.0)
-            prev_avg = _vwhere(has_prev, accum * inv_prev, zero3)
-            finite = (jnp.isfinite(radiance.x) & jnp.isfinite(radiance.y)
-                      & jnp.isfinite(radiance.z))
-            color = _vwhere(finite, radiance, prev_avg)
-            new_avg = _vwhere(has_prev,
-                              prev_avg + (color - prev_avg) * (1.0 / (cnt_f + 1.0)),
-                              color)
-            lum = 0.212655 * new_avg.x + 0.715158 * new_avg.y + 0.072187 * new_avg.z
-            lscale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, 1e-12), 1.0)
-            new_avg = new_avg * lscale
-            accum = _vwhere(finished, new_avg * (cnt_f + 1.0), accum)
-            count = jnp.where(finished, count + 1, count)
-
-            regen = finished & (count < n_samples)
-            samp = sample_lo + count
-            # camera rays (camera.py get_rays + analytic stratified offsets)
-            new_keys = _ray_key(pix, samp.astype(jnp.uint32))
-            ci = jnp.clip(samp, 0, sq * sq - 1)
-            off_x = ((ci // sq).astype(jnp.float32) + 0.5) / sq
-            off_y = ((ci % sq).astype(jnp.float32) + 0.5) / sq
-            # Mosaic has no u32->f32 cast; hop through i32 (width < 2^31)
-            xpix = (pix % width).astype(jnp.int32).astype(jnp.float32)
-            ypix = (pix // width).astype(jnp.int32).astype(jnp.float32)
-            ss = (xpix + off_x) / width
-            tt = (ypix + off_y) / height
-            new_ro, new_dir, new_time = camera_ray(cam_ref, ss, tt, new_keys,
-                                                   safe_t)
-            ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
-                       jnp.ones_like(safe_t))
-
-            out_ro = _vwhere(regen, new_ro, _vwhere(cont, p, ro))
-            out_rd = _vwhere(regen, new_dir, _vwhere(cont, new_rd, rd))
-            out_time = jnp.where(regen, new_time, time)
-            out_inside = jnp.where(regen, 0,
-                                   jnp.where(cont, new_inside, inside))
-            out_beta = _vwhere(regen, ones3, beta)
-            out_rad = _vwhere(regen, zero3, radiance)
-            out_depth = jnp.where(regen, 0, depth + 1)
-            out_alive = (cont | regen).astype(jnp.float32)
-            out_keys = jnp.where(regen, new_keys, keys)
-
-            return (
-                accum.x, accum.y, accum.z,
-                out_ro.x, out_ro.y, out_ro.z,
-                out_rd.x, out_rd.y, out_rd.z,
-                out_time,
-                out_beta.x, out_beta.y, out_beta.z,
-                out_rad.x, out_rad.y, out_rad.z,
-                out_alive,
-                count, out_inside, out_depth,
-                out_keys, rays_ct,
-            )
+            out, _b, _cont = wave_step(
+                meta, tabs, ptab_ref, cam_ref, width, height, sq,
+                max_bounces, max_lum, sample_lo, n_samples, pix, c)
+            return out
 
         # The while cond is a cross-vreg reduction + scalar sync each check;
         # amortize it over COND_EVERY bounces (dead-lane steps are masked

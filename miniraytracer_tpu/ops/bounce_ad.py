@@ -75,7 +75,7 @@ def table_lengths(meta):
         tri=20 * Tc if Tc else 1,
         vol=16 * V if V else 1,
         mat=3 * M,
-        tex=8 * X,
+        tex=9 * X,  # + tex_img row (bounce.pack_scene)
         cam=21,
     )
 

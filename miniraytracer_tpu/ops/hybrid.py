@@ -1,0 +1,493 @@
+"""Hybrid step renderer: fused shade kernel + external flash intersection.
+
+The fused render kernel (ops/bounce.py) runs the whole per-lane render loop
+in ONE kernel, but only for scenes whose primitive tables fit its SMEM
+scalar budget (<= 64 prims/type) with no image textures. Everything bigger
+fell back to the XLA wavefront: ~40 small HBM-bound fusions per bounce
+(record assembly, texture lookups, MIS light pdfs, merge bookkeeping) that
+dominate the frame even when intersection runs in a flash cluster kernel.
+
+This module keeps every lane's SHADING fused while letting intersection of
+large primitive sets stay in the dedicated flash cluster kernels:
+
+    per bounce step (one lax.while_loop iteration, all on device):
+      1. flash cluster kernels intersect the EXTERNAL types (spheres/tris
+         with > 64 prims) -> per-lane nearest candidate (t, index)
+      2. a thin XLA phase assembles the winner's record (normal, material)
+         via one-hot MXU lookups -- the only per-winner table gathers
+      3. ONE Pallas step kernel: in-SMEM primitive sweeps seeded with the
+         external candidate (rects, volumes, small sphere/tri sets) +
+         material dispatch + MIS light sampling + draw2 merge + lane
+         regeneration (bounce.wave_step -- the same code the fused kernel
+         loops in-kernel)
+      4. image-texture lanes (reference texture.cpp:207-225) deferred the
+         texel fetch: the kernel shades with albedo 1 and reports the
+         winner's image id; an XLA gather multiplies the texel into beta
+         (uv reconstructed from the winner normal == (p-c)/radius, the
+         exact argument of the reference's get_sphere_uv, sphere.cpp:6-11)
+
+Estimator-identical to integrator.render_wavefront_pixels (same
+counter-keyed RNG, merge, NaN/clamp policy); covers the scene classes the
+fused kernel cannot: earth (image), random_spheres{,_2} (487/~900 spheres),
+triangles (11.3k tris), book2_final (1032 spheres + mesh + image + volume).
+
+Reference: trace() main.cpp:66-118; draw2 merge main.cpp:214-229.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miniraytracer_tpu.ops import bounce as B
+from miniraytracer_tpu.ops import intersect as ix
+from miniraytracer_tpu.ops.vecmath import V3
+from miniraytracer_tpu.scene import types as T
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+BLOCK_ROWS = B.BLOCK_ROWS
+NF, NI = B.NF, B.NI
+INF = B.INF
+NAN = jnp.float32(float("nan"))
+
+# external-candidate rows fed to the step kernel
+E_T, E_NX, E_NY, E_NZ, E_MAT = range(5)
+NE = 5
+
+
+def _ext_types(scene: T.SceneData):
+    """Which primitive types go through external flash kernels."""
+    return scene.n_spheres > B.MAX_PRIMS, scene.n_tris > B.MAX_PRIMS
+
+
+def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
+    """Step-kernel eligibility: in-SMEM tables for everything except
+    (optionally) one big sphere set and one big triangle set."""
+    if not HAVE_PALLAS:
+        return False
+    if for_tpu and jax.default_backend() != "tpu":
+        return False
+    ext_sph, ext_tri = _ext_types(scene)
+    if scene.n_rects > B.MAX_PRIMS or scene.n_volumes > B.MAX_VOLS:
+        return False
+    if (scene.mat_type.shape[0] > B.MAX_MATS
+            or scene.tex_type.shape[0] > B.MAX_TEXS):
+        return False
+    if len(scene.lights) > 4:
+        return False
+    if ext_sph and any(lt == T.PRIM_SPHERE for lt, _ in scene.lights):
+        return False  # light pdf reads the in-SMEM sphere table
+    if scene.fast_perlin:
+        return False  # opt-in hash-gradient mode stays on the XLA path
+    if scene.has_image:
+        # image uv is reconstructed from the winner normal -- valid for
+        # spheres only (reference puts images only on spheres; rect/tri
+        # image textures would need uv plumbed through the kernel)
+        mat_tex = np.asarray(scene.mat_tex)
+        tex_type = np.asarray(scene.tex_type)
+        img_mats = set(np.nonzero(tex_type[mat_tex] == T.TEX_IMAGE)[0].tolist())
+        for arr, act in ((scene.rect_mat, scene.rect_active),
+                         (scene.tri_mat, scene.tri_active)):
+            live = np.asarray(arr)[np.asarray(act)]
+            if live.shape[0] and img_mats & set(live.tolist()):
+                return False
+    return True
+
+
+def pack_scene_hybrid(scene: T.SceneData):
+    """bounce.pack_scene with external types stripped from the SMEM tables
+    (meta count 0 + dummy table: the step kernel sees them only through the
+    external candidate rows)."""
+    meta, tables = B.pack_scene(scene)
+    ext_sph, ext_tri = _ext_types(scene)
+    if ext_sph:
+        meta = dict(meta, S=0)
+        tables[0] = jnp.zeros((1,), jnp.float32)
+    if ext_tri:
+        meta = dict(meta, Tc=0)
+        tables[2] = jnp.zeros((1,), jnp.float32)
+    return meta, tables
+
+
+def hybrid_accel(scene: T.SceneData, interpret: bool = False):
+    """Flash cluster state for the external types (mirrors
+    intersect.make_accel's forward-path thresholds, but backend-agnostic so
+    the interpret-mode tests can exercise the full pipeline on CPU)."""
+    from miniraytracer_tpu.ops import flash
+
+    ext_sph, ext_tri = _ext_types(scene)
+    accel = {}
+    if ext_tri:
+        m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+        u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+        v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+        coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+        if scene.n_tris < ix.FLASH_CULL_MIN_TRIS:
+            accel["tri"] = coeffs
+        else:
+            accel["tri_cull"] = flash.tri_cull_build(
+                m, u, v, scene.tri_active, coeffs)
+    if ext_sph:
+        coeffs_s = flash.sphere_coefficients(scene)
+        if scene.n_spheres < ix.FLASH_GATE_MIN_SPHERES:
+            accel["sph"] = coeffs_s
+        elif scene.n_spheres < ix.FLASH_CULL_MIN_SPHERES:
+            accel["sph_gate"] = flash.sph_cull_build(scene, coeffs_s)
+        else:
+            accel["sph_cull"] = flash.sph_cull_build(scene, coeffs_s)
+    return accel
+
+
+def _external_candidate(scene, accel, rays, alive, tmin, interpret):
+    """Flash-intersect the external types and assemble the winner record.
+
+    Dead lanes are fed NaN rays: NaN slab/quadratic tests gate nothing in
+    (the padding-lane convention of the cluster kernels), so stale rays
+    don't inflate any block's compacted cluster union.
+
+    Returns 5 (N,) rows: (t, nx, ny, nz, mat_f), t == INF when none."""
+    from miniraytracer_tpu.ops import flash
+
+    n = rays.time.shape[0]
+    nan3 = V3(jnp.where(alive, rays.ro.x, NAN),
+              jnp.where(alive, rays.ro.y, NAN),
+              jnp.where(alive, rays.ro.z, NAN))
+    nand = V3(jnp.where(alive, rays.rd.x, NAN),
+              jnp.where(alive, rays.rd.y, NAN),
+              jnp.where(alive, rays.rd.z, NAN))
+    inf = jnp.full((n,), INF)
+
+    has_sph = any(k in accel for k in ("sph", "sph_gate", "sph_cull"))
+    has_tri = any(k in accel for k in ("tri", "tri_cull"))
+
+    t_s, i_s = inf, jnp.zeros((n,), jnp.int32)
+    if "sph" in accel:
+        t_s, i_s = flash.flash_sphere_hit(
+            accel["sph"], nan3, nand, rays.time, rays.inside, tmin,
+            interpret=interpret)
+    elif "sph_gate" in accel:
+        t_s, i_s = flash.flash_sphere_hit_gated(
+            accel["sph_gate"], nan3, nand, rays.time, rays.inside, tmin,
+            interpret=interpret)
+    elif "sph_cull" in accel:
+        t_s, i_s = flash.flash_sphere_hit_streamed(
+            accel["sph_cull"], nan3, nand, rays.time, rays.inside, tmin,
+            interpret=interpret)
+
+    t_t, i_t = inf, jnp.zeros((n,), jnp.int32)
+    if "tri" in accel:
+        t_t, i_t = flash.flash_tri_hit(
+            accel["tri"], nan3, nand, rays.inside, tmin, interpret=interpret)
+    elif "tri_cull" in accel:
+        # seed with the sphere winner AND a t-only in-SMEM rect sweep: the
+        # rect floor prunes downward-ray clusters exactly as scene_hit's
+        # seed chaining does (the step kernel re-finds the rect winner; a
+        # returned t == seed means "nothing beat the seed", filtered below)
+        seed = t_s
+        if scene.n_rects:
+            tmax0 = jnp.full((n,), INF)
+            t_r, _ = ix._chunked_min(
+                lambda s, c: ix.rect_ts(scene, rays, s, c, tmin, tmax0),
+                scene.n_rects, n)
+            seed = jnp.minimum(seed, t_r)
+        seed = jnp.where(alive, seed, 0.0)
+        if flash.resident_ok(accel["tri_cull"]):
+            t_t, i_t = flash.flash_tri_hit_resident(
+                accel["tri_cull"], nan3, nand, rays.inside, tmin, seed,
+                interpret=interpret)
+        else:
+            t_t, i_t = flash.flash_tri_hit_streamed(
+                accel["tri_cull"], nan3, nand, rays.inside, tmin, seed,
+                interpret=interpret)
+        t_t = jnp.where(t_t < seed, t_t, INF)
+
+    # combine: sphere preferred on ties (scene_hit's type order)
+    ext_t = jnp.minimum(t_s, t_t)
+    is_s = t_s <= t_t
+    has = ext_t < INF
+    safe_t = jnp.where(has, ext_t, 1.0)
+    from miniraytracer_tpu.ops.vecmath import vwhere
+
+    one = jnp.ones_like(safe_t)
+    zero = jnp.zeros_like(safe_t)
+    nrm = V3(one, zero, zero)
+    mat = jnp.zeros((n,), jnp.int32)
+    if has_sph:
+        idx_s = jnp.where(is_s & has, i_s, 0)
+        _, n_sph, _, _, m_sph = ix.sphere_record(scene, rays, safe_t, idx_s)
+        nrm = vwhere(is_s, n_sph, nrm)
+        mat = jnp.where(is_s, m_sph, mat)
+    if has_tri:
+        idx_t = jnp.where(~is_s & has, i_t, 0)
+        _, n_tri, _, _, m_tri = ix.tri_record(scene, rays, safe_t, idx_t)
+        nrm = vwhere(is_s, nrm, n_tri)
+        mat = jnp.where(is_s, mat, m_tri)
+
+    nx = jnp.where(has, nrm.x, one)
+    ny = jnp.where(has, nrm.y, 0.0)
+    nz = jnp.where(has, nrm.z, 0.0)
+    ext_t = jnp.where(has, ext_t, INF)
+    mat_f = jnp.where(has, mat, 0).astype(jnp.float32)
+    return ext_t, nx, ny, nz, mat_f
+
+
+# ---------------------------------------------------------------------------
+# Step kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_step_kernel(meta, width, height, sq, max_bounces, image):
+    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+               ptab_ref, misc_ref, f_ref, i_ref, k_ref, ray_ref, pix_ref,
+               ext_ref, fo_ref, io_ref, ko_ref, rayo_ref, *img_refs):
+        tabs = (sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref)
+        max_lum = misc_ref[0]
+        sample_lo = misc_ref[1].astype(jnp.int32)
+        n_samples = misc_ref[2].astype(jnp.int32)
+        pix = pix_ref[:]
+        c = (tuple(f_ref[r] for r in range(NF))
+             + tuple(i_ref[r] for r in range(NI))
+             + (k_ref[:], ray_ref[:]))
+        ext = tuple(ext_ref[r] for r in range(NE))
+        out, b, cont = B.wave_step(
+            meta, tabs, ptab_ref, cam_ref, width, height, sq, max_bounces,
+            max_lum, sample_lo, n_samples, pix, c, ext=ext)
+        fo_ref[:] = jnp.stack(out[:NF])
+        io_ref[:] = jnp.stack(out[NF:NF + NI])
+        ko_ref[:] = out[NF + NI]
+        rayo_ref[:] = out[NF + NI + 1]
+        if image:
+            (imgo_ref,) = img_refs
+            none = jnp.full_like(b.safe_t, -1.0)
+            # only CONTINUING lanes carry a pending image albedo (finished
+            # lanes at the depth cap return emitted only -- the albedo is
+            # never used, matching trace()'s depth-cap branch)
+            imgo_ref[:] = jnp.stack([
+                jnp.where(cont, b.img_id, none), b.nrm.x, b.nrm.y, b.nrm.z])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=(
+    "meta", "width", "height", "sq", "max_bounces", "image", "interpret"))
+def _step_call(meta, tables, fstate, istate, keys, rays_ct, pix, ext, misc,
+               *, width, height, sq, max_bounces, image, interpret):
+    meta_d = dict(meta)
+    r128 = fstate.shape[1]
+    kernel = _make_step_kernel(meta_d, width, height, sq, max_bounces, image)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ptab_spec = pl.BlockSpec((96, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec3 = lambda rows: pl.BlockSpec((rows, BLOCK_ROWS, 128),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((NI, r128, 128), jnp.int32),
+        jax.ShapeDtypeStruct((r128, 128), jnp.uint32),
+        jax.ShapeDtypeStruct((r128, 128), jnp.float32),
+    ]
+    out_specs = [spec3(NF), spec3(NI), spec2, spec2]
+    if image:
+        out_shape.append(jax.ShapeDtypeStruct((4, r128, 128), jnp.float32))
+        out_specs.append(spec3(4))
+    res = pl.pallas_call(
+        kernel,
+        grid=(r128 // BLOCK_ROWS,),
+        in_specs=([smem] * 7 + [ptab_spec, smem]
+                  + [spec3(NF), spec3(NI), spec2, spec2, spec2, spec3(NE)]),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*tables, misc, fstate, istate, keys, rays_ct, pix, ext)
+    if image:
+        f_out, i_out, k_out, ray_out, img_out = res
+    else:
+        f_out, i_out, k_out, ray_out = res
+        img_out = None
+    return f_out, i_out, k_out, ray_out, img_out
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def _image_dims(scene):
+    """(img_id -> (h, w)) columns from the texture table (the builder
+    stashes dims in tex_c1, scene/builder.py). Traced-safe: the texture
+    count is static, values may be tracers (called under jit)."""
+    n_img = int(scene.images.shape[0]) if scene.has_image else 0
+    n = max(n_img, 1)
+    ids = jnp.arange(n)
+    h = jnp.zeros((n,), jnp.float32)
+    w = jnp.zeros((n,), jnp.float32)
+    for xi in range(scene.tex_type.shape[0]):
+        sel = (scene.tex_type[xi] == T.TEX_IMAGE) & (ids == scene.tex_img[xi])
+        h = jnp.where(sel, scene.tex_c1[xi, 0], h)
+        w = jnp.where(sel, scene.tex_c1[xi, 1], w)
+    return h, w
+
+
+def _apply_image_albedo(scene, img_h, img_w, fstate, img_out):
+    """beta *= image texel for lanes with a pending image hit.
+
+    uv from the winner normal (== (p-c)/radius): the reference's
+    get_sphere_uv inputs (sphere.cpp:6-11, texture.cpp:207-225)."""
+    from miniraytracer_tpu.models.textures import image_sample
+
+    iid = img_out[0]
+    nx, ny, nz = img_out[1], img_out[2], img_out[3]
+    pend = iid >= 0.0
+    idx = jnp.where(pend, iid, 0.0).astype(jnp.int32)
+    u = 0.5 - jnp.arctan2(nz, nx) / (2.0 * np.pi)
+    v = 0.5 + jnp.arcsin(jnp.clip(ny, -1.0, 1.0)) / np.pi
+    # tiny static table (1-2 images): where-chain, no gather
+    h = jnp.zeros_like(iid)
+    w = jnp.zeros_like(iid)
+    for k in range(img_h.shape[0]):
+        h = jnp.where(idx == k, img_h[k], h)
+        w = jnp.where(idx == k, img_w[k], w)
+    texel = image_sample(scene, idx, h, w, u, v)
+    for r, comp in zip(range(B.R_BETA, B.R_BETA + 3),
+                       (texel.x, texel.y, texel.z)):
+        fstate = fstate.at[r].set(
+            jnp.where(pend, fstate[r] * comp, fstate[r]))
+    return fstate
+
+
+def render_wavefront_hybrid_pixels(scene, pix, sample_lo, n_samples, max_lum,
+                                   *, width, height, max_bounces, spp_sq,
+                                   interpret=False, accel=None):
+    """Hybrid-step equivalent of integrator.render_wavefront_pixels.
+
+    Same estimator; returns (accum V3, count, rays_traced)."""
+    from miniraytracer_tpu.models import camera as cam_mod
+    from miniraytracer_tpu.ops import rng as rng_mod
+
+    meta_d, tables = pack_scene_hybrid(scene)
+    meta = tuple(sorted(meta_d.items()))
+    image = meta_d["image"]
+    if accel is None:
+        accel = hybrid_accel(scene, interpret)
+    img_h, img_w = _image_dims(scene) if image else (None, None)
+
+    n = pix.shape[0]
+    rem = (-n) % (BLOCK_ROWS * 128)
+    n_pad = n + rem
+    pix_p = jnp.concatenate([pix.astype(jnp.uint32),
+                             jnp.zeros((rem,), jnp.uint32)]) if rem else (
+        pix.astype(jnp.uint32))
+
+    sample0 = jnp.full((n_pad,), 0, jnp.int32) + sample_lo
+    keys0 = rng_mod.ray_key(pix_p, sample0.astype(jnp.uint32))
+    x = (pix_p % width).astype(jnp.float32)
+    y = (pix_p // width).astype(jnp.float32)
+    ci = jnp.clip(sample0, 0, spp_sq * spp_sq - 1)
+    off_x = ((ci // spp_sq).astype(jnp.float32) + 0.5) / spp_sq
+    off_y = ((ci % spp_sq).astype(jnp.float32) + 0.5) / spp_sq
+    rays0 = cam_mod.get_rays(scene.camera, (x + off_x) / width,
+                             (y + off_y) / height, keys0)
+
+    r128 = n_pad // 128
+    t2 = lambda a: a.reshape(r128, 128)
+    flat = lambda a: a.reshape(-1)[:n_pad]
+    zero = jnp.zeros((n_pad,), jnp.float32)
+    one = jnp.ones((n_pad,), jnp.float32)
+    alive0 = jnp.where(
+        (jnp.arange(n_pad) < n) & (jnp.asarray(n_samples) > 0), 1.0, 0.0)
+    fstate = jnp.stack([t2(a) for a in (
+        zero, zero, zero,
+        rays0.ro.x, rays0.ro.y, rays0.ro.z,
+        rays0.rd.x, rays0.rd.y, rays0.rd.z,
+        rays0.time, one, one, one, zero, zero, zero, alive0)])
+    izero = jnp.zeros((n_pad,), jnp.int32)
+    istate = jnp.stack([t2(a) for a in (izero, rays0.inside, izero)])
+    keys = t2(keys0)
+    rays_ct = jnp.zeros((r128, 128), jnp.float32)
+    pix2 = t2(pix_p)
+    misc = jnp.stack([jnp.asarray(max_lum, jnp.float32),
+                      jnp.asarray(sample_lo, jnp.int32).astype(jnp.float32),
+                      jnp.asarray(n_samples, jnp.int32).astype(jnp.float32)])
+
+    def body(carry):
+        fstate, istate, keys, rays_ct = carry
+        rays = ix.Rays(
+            ro=V3(flat(fstate[B.R_RO]), flat(fstate[B.R_RO + 1]),
+                  flat(fstate[B.R_RO + 2])),
+            rd=V3(flat(fstate[B.R_RD]), flat(fstate[B.R_RD + 1]),
+                  flat(fstate[B.R_RD + 2])),
+            time=flat(fstate[B.R_TIME]),
+            inside=flat(istate[B.I_INSIDE]),
+        )
+        alive = flat(fstate[B.R_ALIVE]) > 0.0
+        er = _external_candidate(scene, accel, rays, alive, B.TMIN,
+                                 interpret)
+        ext = jnp.stack([t2(r) for r in er])
+        fstate, istate, keys, rays_ct, img_out = _step_call(
+            meta, tuple(tables), fstate, istate, keys, rays_ct, pix2, ext,
+            misc, width=width, height=height, sq=spp_sq,
+            max_bounces=max_bounces, image=image, interpret=interpret)
+        if image:
+            fstate = _apply_image_albedo(scene, img_h, img_w, fstate, img_out)
+        return fstate, istate, keys, rays_ct
+
+    def cond(carry):
+        return jnp.any(carry[0][B.R_ALIVE] > 0.0)
+
+    fstate, istate, keys, rays_ct = jax.lax.while_loop(
+        cond, body, (fstate, istate, keys, rays_ct))
+
+    out = lambda a: a.reshape(-1)[:n]
+    accum = V3(out(fstate[B.R_ACC]), out(fstate[B.R_ACC + 1]),
+               out(fstate[B.R_ACC + 2]))
+    count = out(istate[B.I_COUNT])
+    return accum, count, jnp.sum(rays_ct)
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "ns", "sq", "max_bounces", "interpret"))
+def _hybrid_frame_jit(scene, max_lum, *, width, height, ns, sq, max_bounces,
+                      interpret):
+    pix = jnp.arange(width * height, dtype=jnp.uint32)
+    accum, count, rays = render_wavefront_hybrid_pixels(
+        scene, pix, jnp.int32(0), jnp.int32(ns), max_lum,
+        width=width, height=height, max_bounces=max_bounces, spp_sq=sq,
+        interpret=interpret,
+    )
+    inv = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return (accum * inv).arr, rays
+
+
+def render_wavefront_hybrid(scene, width, height, spp, max_bounces=32,
+                            max_lum=1000.0, interpret=False):
+    """Full-frame hybrid-step render. Returns (frame, stats)."""
+    import time as _time
+
+    sq = int(np.sqrt(spp))
+    ns = sq * sq
+    t0 = _time.perf_counter()
+    frame, rays = _hybrid_frame_jit(
+        scene, jnp.float32(max_lum), width=width, height=height, ns=ns, sq=sq,
+        max_bounces=max_bounces, interpret=interpret)
+    frame.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    total = float(rays)
+    return frame.reshape(height, width, 3), {
+        "seconds": elapsed,
+        "rays": total,
+        "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": ns,
+    }

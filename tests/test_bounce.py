@@ -81,6 +81,14 @@ def test_fused_light_mixture_scene():
     _compare(b.build(), W=16, H=16, spp=4, bounces=8)
 
 
+def test_fused_matches_wavefront_perlin():
+    """perlin_spheres goes through the in-kernel turbulence path on TPU
+    (can_fuse is backend-gated to False on this CPU mesh, so drive the
+    fused renderer directly in interpret mode) — regression for the
+    ptab NameError introduced by the wave_step extraction."""
+    _compare(S.perlin_spheres(1.0), W=12, H=12, spp=4, bounces=6)
+
+
 def test_fused_distributed_matches_xla_distributed():
     """Sharded fused path ((dp, sp) mesh, traced sample blocks) must match
     the sharded XLA wavefront exactly (same per-(pixel,sample) keys)."""

@@ -1,0 +1,107 @@
+"""Hybrid step renderer (ops/hybrid.py) vs the XLA wavefront.
+
+The hybrid path = flash cluster kernels for big primitive sets + ONE fused
+Pallas step kernel for shade/merge/regeneration per bounce (the reference
+trace() body, main.cpp:66-118, split at the scene_hit seam). Estimator-
+identical to render_wavefront by construction; where the external flash
+kernels share no numerics with the XLA sweeps (coefficient-form quadratics
+vs componentwise), marginal lanes can flip discrete decisions (Fresnel,
+mixture picks), so those scenes are compared statistically — the same
+drift class as the documented CPU-vs-reference parity.
+
+Runs in interpret mode on the CPU test mesh (conftest forces cpu).
+"""
+
+import numpy as np
+
+from miniraytracer_tpu.models import integrator as integ
+from miniraytracer_tpu.models import scenes as S
+from miniraytracer_tpu.models.scenes import SceneBuilder
+from miniraytracer_tpu.ops import hybrid
+
+
+def _ext_sphere_scene(n_sph=80, n_tri=0, vol=False):
+    """>64 spheres so the sphere set goes through the external flash
+    kernel; materials reused so the SMEM mat/tex tables stay small."""
+    b = SceneBuilder()
+    b.name = "iso"
+    b.set_camera([0, 3, 12], [0, 1, 0], [0, 1, 0], 40.0, 1.0,
+                 aperture=0.0, focus_dist=10.0, t0=0.0, t1=0.0)
+    gray = b.lambertian(b.tex_const([0.5, 0.5, 0.5]))
+    red = b.lambertian(b.tex_const([0.7, 0.2, 0.2]))
+    met = b.metal(b.tex_const([0.9, 0.9, 0.9]), 0.8)
+    glass = b.dielectric(1.5)
+    lightm = b.diffuse_light(b.tex_const([1, 1, 1]), 7.0)
+    b.sphere([0, -1000, 0], 1000, gray)
+    b.add_light(b.xz_rect(-2, 2, -2, 2, 8, lightm))
+    rng = np.random.RandomState(0)
+    mats = [gray, red, met, glass]
+    for i in range(n_sph):
+        p = rng.uniform(-6, 6, 3)
+        p[1] = rng.uniform(0.2, 3)
+        b.sphere(p.tolist(), rng.uniform(0.1, 0.4), mats[i % 4])
+    for i in range(n_tri):
+        p = rng.uniform(-6, 6, 3)
+        p[1] = rng.uniform(0.2, 3)
+        a = p + rng.uniform(-0.4, 0.4, 3)
+        c = p + rng.uniform(-0.4, 0.4, 3)
+        b.triangle(p.tolist(), a.tolist(), c.tolist(), mats[i % 4])
+    if vol:
+        b.volume_sphere([0, 1, 0], 4.0, 0.05, b.tex_const([0.6, 0.7, 0.9]))
+    b.use_sky = True
+    return b.build()
+
+
+def _exact(scene, W, H, spp, bounces, tol=1e-5):
+    f_x, st_x = integ.render_wavefront(scene, W, H, spp, max_bounces=bounces)
+    f_h, st_h = hybrid.render_wavefront_hybrid(
+        scene, W, H, spp, max_bounces=bounces, interpret=True)
+    assert st_x["rays"] == st_h["rays"], (st_x["rays"], st_h["rays"])
+    d = np.abs(np.asarray(f_x) - np.asarray(f_h)).max()
+    assert d < tol, f"max frame diff {d}"
+
+
+def _statistical(scene, W, H, spp, bounces, mean_tol=5e-3, ray_tol=0.02):
+    f_x, st_x = integ.render_wavefront(scene, W, H, spp, max_bounces=bounces)
+    f_h, st_h = hybrid.render_wavefront_hybrid(
+        scene, W, H, spp, max_bounces=bounces, interpret=True)
+    drift = abs(st_x["rays"] - st_h["rays"]) / max(st_x["rays"], 1.0)
+    assert drift < ray_tol, (st_x["rays"], st_h["rays"])
+    mx = np.asarray(f_x).mean(axis=(0, 1))
+    mh = np.asarray(f_h).mean(axis=(0, 1))
+    rel = np.abs(mx - mh) / np.maximum(np.abs(mx), 1e-6)
+    assert rel.max() < mean_tol, f"channel means {mx} vs {mh}"
+
+
+def test_hybrid_gating():
+    assert hybrid.can_hybrid(S.earth(1.0), for_tpu=False)
+    assert hybrid.can_hybrid(S.triangles(1.0), for_tpu=False)
+    assert hybrid.can_hybrid(S.book2_final(1.0), for_tpu=False)
+    # per-sphere materials blow the SMEM mat table budget
+    assert not hybrid.can_hybrid(S.random_spheres(1.0), for_tpu=False)
+
+
+def test_hybrid_matches_wavefront_earth():
+    """No external types here — the step kernel + deferred image-texel
+    gather must match the wavefront exactly (image uv from the winner
+    normal == the reference's get_sphere_uv argument, sphere.cpp:6-11)."""
+    _exact(S.earth(1.0), 12, 12, 4, 8)
+
+
+def test_hybrid_matches_wavefront_triangles():
+    """11.3k tris through the external resident cluster kernel; this
+    fixed-seed crop has no marginal lanes, so the match is exact."""
+    _exact(S.triangles(1.0), 8, 8, 1, 4)
+
+
+def test_hybrid_ext_spheres_statistical():
+    """External flash sphere quadratic differs from the XLA componentwise
+    sweep at ~1e-5 rel t; discrete decisions on marginal lanes can flip,
+    so compare channel means (measured 5e-6 rel at this config)."""
+    _statistical(_ext_sphere_scene(), 16, 16, 16, 8)
+
+
+def test_hybrid_book2_statistical():
+    """Both external types + volumes + image + moving spheres."""
+    _statistical(S.book2_final(1.0), 10, 10, 4, 6, mean_tol=2e-2,
+                 ray_tol=0.05)
