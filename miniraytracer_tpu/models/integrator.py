@@ -564,6 +564,8 @@ def render_workqueue_pixels(
     max_lum,
     *,
     width: int,
+    fused_shade: bool = False,
+    interpret: bool = False,
     height: int,
     max_bounces: int,
     pix_base=0,  # may be traced (sharded pixel ranges)
@@ -630,7 +632,16 @@ def render_workqueue_pixels(
         keys=keys0,
         rays_traced=jnp.float32(0.0),
     )
-    accel = ix.make_accel(scene)
+    if fused_shade:
+        # one Pallas step kernel per bounce for the whole shading phase
+        # (ops/hybrid.make_workqueue_shader); claiming/merge stay XLA
+        from miniraytracer_tpu.ops import hybrid as hybrid_mod
+
+        shader = hybrid_mod.make_workqueue_shader(scene, interpret=interpret)
+        accel = None
+    else:
+        shader = None
+        accel = ix.make_accel(scene)
 
     def cond(s):
         return jnp.any(s.alive)
@@ -639,9 +650,15 @@ def render_workqueue_pixels(
         rays = ix.Rays(ro=s.ro, rd=s.rd, time=s.time, inside=s.inside)
         keys_b = rng.fold(s.keys, s.depth)
         depth_ok = s.depth < max_bounces
-        rec, sc, cont, beta, radiance = _shade_and_advance(
-            scene, rays, keys_b, depth_ok, s.alive, s.beta, s.radiance, accel
-        )
+        if shader is not None:
+            p_next, adv_rd, adv_inside, cont, beta, radiance = shader(
+                rays, keys_b, depth_ok, s.alive, s.beta, s.radiance)
+        else:
+            rec, sc, cont, beta, radiance = _shade_and_advance(
+                scene, rays, keys_b, depth_ok, s.alive, s.beta, s.radiance,
+                accel
+            )
+            p_next, adv_rd, adv_inside = rec.p, sc.new_rd, sc.new_inside
         finished = s.alive & ~cont
 
         # ---- scatter finished samples into the frame ----
@@ -677,10 +694,10 @@ def render_workqueue_pixels(
             count=count,
             next_item=s.next_item + jnp.sum(fin_i),
             item=new_item,
-            ro=vwhere(regen, new_rays.ro, vwhere(cont, rec.p, s.ro)),
-            rd=vwhere(regen, new_rays.rd, vwhere(cont, sc.new_rd, s.rd)),
+            ro=vwhere(regen, new_rays.ro, vwhere(cont, p_next, s.ro)),
+            rd=vwhere(regen, new_rays.rd, vwhere(cont, adv_rd, s.rd)),
             time=jnp.where(regen, new_rays.time, s.time),
-            inside=jnp.where(regen, new_rays.inside, jnp.where(cont, sc.new_inside, s.inside)),
+            inside=jnp.where(regen, new_rays.inside, jnp.where(cont, adv_inside, s.inside)),
             beta=vwhere(regen, V3.fill(regen.shape, 1.0, 1.0, 1.0), beta),
             radiance=vwhere(regen, V3.zeros(regen.shape), radiance),
             depth=jnp.where(regen, 0, s.depth + 1),
@@ -694,13 +711,16 @@ def render_workqueue_pixels(
     return accum, state.count[:n_pix], state.rays_traced
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces", "n_lanes"))
-def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces, n_lanes):
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "n_lanes", "fused_shade"))
+def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces,
+                          n_lanes, fused_shade=False):
     offs, ns = sample_offsets(spp)
     n_pix = width * height
     accum, count, rays = render_workqueue_pixels(
         scene, n_pix, n_lanes or n_pix, offs, ns, max_lum,
         width=width, height=height, max_bounces=max_bounces,
+        fused_shade=fused_shade,
     )
     inv = 1.0 / jnp.maximum(count, 1.0)
     return (accum * inv).arr, rays
@@ -709,10 +729,11 @@ def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces, n_
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_bounces", "n_lanes",
-                     "chunk"),
+                     "chunk", "fused_shade"),
 )
 def _render_workqueue_chunk_jit(scene, max_lum, base, *, width, height, spp,
-                                max_bounces, n_lanes, chunk):
+                                max_bounces, n_lanes, chunk,
+                                fused_shade=False):
     """One sample-block [base, base+chunk) of a spp-stratified work-queue
     render (`base` is traced — all chunks share one compilation). Returns
     raw (accum (P,3), count (P,), rays) so the host can merge blocks (the
@@ -722,7 +743,7 @@ def _render_workqueue_chunk_jit(scene, max_lum, base, *, width, height, spp,
     accum, count, rays = render_workqueue_pixels(
         scene, n_pix, n_lanes or n_pix, offs, chunk, max_lum,
         width=width, height=height, max_bounces=max_bounces,
-        sample_base=base,
+        sample_base=base, fused_shade=fused_shade,
     )
     return accum.arr, count, rays
 
@@ -736,6 +757,7 @@ def render_workqueue(
     max_lum: float = 1000.0,
     n_lanes: int = 0,
     chunk: int = 0,
+    fused_shade: str | bool = "auto",
 ):
     """Whole-frame work-queue render (throughput mode). n_lanes = 0 uses one
     lane per pixel. `chunk` > 0 splits the render into sample blocks of
@@ -745,6 +767,19 @@ def render_workqueue(
     the estimator is identical to the one-shot render up to accumulation
     order. Returns (frame (H,W,3), stats)."""
     import time as _time
+
+    if fused_shade == "auto":
+        # shading moves into the hybrid step kernel where the scene fits
+        # its SMEM budget (ops/hybrid.can_hybrid); intersection of big
+        # primitive sets stays in the flash cluster kernels either way.
+        # Scenes with an EXTERNAL box sweep keep the XLA path: the per-
+        # bounce box record assembly costs more than fused shading saves
+        # (book2 on-chip: 6.20 XLA vs 6.03 fused)
+        from miniraytracer_tpu.ops import hybrid as hybrid_mod
+
+        fused_shade = (hybrid_mod.can_hybrid(scene)
+                       and not hybrid_mod._ext_types(scene)[2])
+    fused_shade = bool(fused_shade)
 
     t0 = _time.perf_counter()
     if chunk and chunk < spp:
@@ -759,6 +794,7 @@ def render_workqueue(
                 scene, jnp.float32(max_lum), jnp.int32(base),
                 width=width, height=height, spp=spp,
                 max_bounces=max_bounces, n_lanes=n_lanes, chunk=nb,
+                fused_shade=fused_shade,
             )
             # no per-chunk sync: dispatches queue back-to-back on the
             # device (a host round trip per chunk costs 30-90 ms over the
@@ -774,7 +810,7 @@ def render_workqueue(
         frame, rays = _render_workqueue_jit(
             scene, jnp.float32(max_lum),
             width=width, height=height, spp=spp, max_bounces=max_bounces,
-            n_lanes=n_lanes,
+            n_lanes=n_lanes, fused_shade=fused_shade,
         )
         frame.block_until_ready()
     elapsed = _time.perf_counter() - t0
@@ -807,7 +843,8 @@ def pick_renderer(scene: T.SceneData) -> str:
 
     if bounce.can_fuse(scene):
         return "fused"
-    heavy = scene.n_tris + scene.n_spheres
+    # a box prim costs ~6 rect tests in the sweep (box.h decomposition)
+    heavy = scene.n_tris + scene.n_spheres + 6 * scene.n_boxes
     if heavy >= 2000:
         # intersection-dominated: the compacting work queue keeps lanes
         # ~100% utilized (hybrid's pixel-pinned loop measured slower here:

@@ -106,7 +106,9 @@ def pack_scene(scene: T.SceneData):
     """
     meta = dict(
         S=scene.n_spheres, R=scene.n_rects, Tc=scene.n_tris,
-        V=scene.n_volumes, M=int(scene.mat_type.shape[0]),
+        Bx=scene.n_boxes if scene.has_boxes else 0,
+        V=scene.n_volumes,
+        M=int(scene.mat_type.shape[0]),
         X=int(scene.tex_type.shape[0]),
         lights=tuple(scene.lights), use_sky=bool(scene.use_sky),
         exact_cosine=bool(scene.exact_cosine),
@@ -133,6 +135,12 @@ def pack_scene(scene: T.SceneData):
         scene.tri_mat.astype(jnp.float32),
         scene.tri_active.astype(jnp.float32),
     ]) if meta["Tc"] else jnp.zeros((1,), jnp.float32)
+    box = jnp.concatenate([
+        scene.box_lo.reshape(-1), scene.box_hi.reshape(-1),
+        scene.box_cs.reshape(-1), scene.box_off.reshape(-1),
+        scene.box_mat.astype(jnp.float32),
+        scene.box_active.astype(jnp.float32),
+    ]) if meta["Bx"] else jnp.zeros((1,), jnp.float32)
     vol = jnp.concatenate([
         scene.vol_bparams.reshape(-1),
         scene.vol_btype.astype(jnp.float32), scene.vol_density,
@@ -184,7 +192,7 @@ def pack_scene(scene: T.SceneData):
             [cam.lens_radius, cam.time0, cam.time1], jnp.float32
         ).reshape(-1),
     ])
-    return meta, [sph, rect, tri, vol, mat, tex, camv, ptab]
+    return meta, [sph, rect, tri, box, vol, mat, tex, camv, ptab]
 
 
 # ---------------------------------------------------------------------------
@@ -387,12 +395,13 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
     it only strictly (scene_hit prefers sphere > rect > tri on exact ties —
     cross-type bit-equal t is measure-zero)."""
     S, R, Tc, V = meta["S"], meta["R"], meta["Tc"], meta["V"]
+    Bx = meta["Bx"]
     M, X = meta["M"], meta["X"]
     lights = meta["lights"]
     exact_cos = meta["exact_cosine"]
     perlin = meta["perlin"]
     nL = max(len(lights), 1)
-    sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref = tabs
+    sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref, tex_ref = tabs
 
     if True:  # keep the original kernel-body indentation for the moved code
         if True:
@@ -444,6 +453,11 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
                 tc_safe = jnp.where(better, tc, 1.0)
                 p_hit = ro + rd * tc_safe
                 safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
+                # *(1/rad) with the reciprocal hoisted to a SCALAR divide
+                # (rad is an SMEM table entry); sphere_record uses the SAME
+                # expression so kernel and XLA wavefront stay bit-identical —
+                # a last-ulp normal difference seeds chaotic path divergence
+                # that can flip a discrete decision several bounces later
                 n_c = _normalize((p_hit - cen) * (1.0 / safe_rad))
                 best_t = jnp.where(better, tc, best_t)
                 w_n = _vwhere(better, n_c, w_n)
@@ -523,6 +537,58 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
                     mn * (1.0 - uun - vvn) + un * uun + vn * vvn
                 )
                 best_t = jnp.where(valid, t, best_t)
+                w_n = _vwhere(valid, n_c, w_n)
+                w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+
+            # --- boxes (box.h: 6 outward one-sided rects as ONE prim; the
+            # rotate_y/translate wrappers baked as sin/cos/offset — hit =
+            # nearest front-facing face, rays inside see nothing) ---
+            for bi in range(Bx):
+                blo = (box_ref[3 * bi], box_ref[3 * bi + 1], box_ref[3 * bi + 2])
+                o = 3 * Bx
+                bhi = (box_ref[o + 3 * bi], box_ref[o + 3 * bi + 1],
+                       box_ref[o + 3 * bi + 2])
+                o = 6 * Bx
+                sinb, cosb = box_ref[o + 2 * bi], box_ref[o + 2 * bi + 1]
+                o = 8 * Bx
+                offb = V3(box_ref[o + 3 * bi] + 0.0 * time,
+                          box_ref[o + 3 * bi + 1] + 0.0 * time,
+                          box_ref[o + 3 * bi + 2] + 0.0 * time)
+                matid = box_ref[11 * Bx + bi]
+                act = box_ref[12 * Bx + bi]
+                rol = ro - offb
+                lo = V3(cosb * rol.x - sinb * rol.z, rol.y,
+                        cosb * rol.z + sinb * rol.x)
+                ld = V3(cosb * rd.x - sinb * rd.z, rd.y,
+                        cosb * rd.z + sinb * rd.x)
+                bl = (lo.x, lo.y, lo.z)
+                bd = (ld.x, ld.y, ld.z)
+                tb = jnp.full_like(time, INF)
+                nax = jnp.zeros_like(time)   # winner axis id
+                nsg = jnp.zeros_like(time)   # winner face sign
+                for a, bb_, cc_ in ((0, 1, 2), (1, 0, 2), (2, 0, 1)):
+                    da = bd[a]
+                    invd = 1.0 / jnp.where(
+                        jnp.abs(da) > 1e-12, da,
+                        jnp.where(da >= 0, 1e-12, -1e-12))
+                    for bound, face_ok, sg in ((blo[a], da > 0, -1.0),
+                                               (bhi[a], da < 0, 1.0)):
+                        tf = (bound - bl[a]) * invd
+                        pb = bl[bb_] + tf * bd[bb_]
+                        pc = bl[cc_] + tf * bd[cc_]
+                        okf = (face_ok & (tf >= TMIN) & (tf < tb)
+                               & (pb >= blo[bb_]) & (pb <= bhi[bb_])
+                               & (pc >= blo[cc_]) & (pc <= bhi[cc_]))
+                        tb = jnp.where(okf, tf, tb)
+                        nax = jnp.where(okf, float(a), nax)
+                        nsg = jnp.where(okf, sg, nsg)
+                valid = (tb < best_t) & (act > 0)
+                nlx = jnp.where(nax == 0.0, nsg, 0.0)
+                nly = jnp.where(nax == 1.0, nsg, 0.0)
+                nlz = jnp.where(nax == 2.0, nsg, 0.0)
+                n_c = V3(cosb * nlx + sinb * nlz, nly,
+                         cosb * nlz - sinb * nlx)
+                best_t = jnp.where(valid, tb, best_t)
                 w_n = _vwhere(valid, n_c, w_n)
                 w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
 
@@ -1028,7 +1094,8 @@ def wave_step(meta, tabs, ptab_ref, cam_ref, width, height, sq, max_bounces,
 def _make_kernel(meta, width, height, sq, max_bounces):
     """Build the fused-bounce kernel specialized to the scene's meta."""
 
-    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+               tex_ref, cam_ref,
                ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref,
                fo_ref, io_ref, ko_ref, ray_ref):
         # Blocks are (BR, 128) lane tiles — native VPU vreg shape, full
@@ -1041,7 +1108,8 @@ def _make_kernel(meta, width, height, sq, max_bounces):
         sample_lo = misc_ref[1].astype(jnp.int32)
         n_samples = misc_ref[2].astype(jnp.int32)
         pix = pix_ref[:]  # (BR, 128) u32
-        tabs = (sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref)
+        tabs = (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+                tex_ref)
 
         carry0 = (
             tuple(f_ref[r] for r in range(NF))
@@ -1107,7 +1175,7 @@ def fused_render_blocks(meta, tables, fstate, istate, keys, pix, sample_lo,
     f_out, i_out, k_out, ray_out = pl.pallas_call(
         kernel,
         grid=(r128 // block_rows,),
-        in_specs=([smem] * 7 + [ptab_spec, smem]
+        in_specs=([smem] * 8 + [ptab_spec, smem]
                   + [spec3(NF), spec3(NI), spec2, spec2]),
         out_specs=[spec3(NF), spec3(NI), spec2, spec2],
         out_shape=[

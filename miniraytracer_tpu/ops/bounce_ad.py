@@ -68,11 +68,13 @@ RES_LO, RES_HI = A_RO, A_ALIVE + 1
 
 def table_lengths(meta):
     S, R, Tc, V = meta["S"], meta["R"], meta["Tc"], meta["V"]
+    Bx = meta["Bx"]
     M, X = meta["M"], meta["X"]
     return dict(
         sph=12 * S if S else 1,
         rect=17 * R if R else 1,
         tri=20 * Tc if Tc else 1,
+        box=13 * Bx if Bx else 1,
         vol=16 * V if V else 1,
         mat=3 * M,
         tex=9 * X,  # + tex_img row (bounce.pack_scene)
@@ -192,10 +194,12 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
 
 def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit):
-    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+               tex_ref, cam_ref,
                ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref, sb_ref,
                fo_ref, io_ref, ko_ref):
-        tabs = (sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref)
+        tabs = (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+                tex_ref)
         t_step = misc_ref[0].astype(jnp.int32)
         pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
         sampbase = jax.lax.bitcast_convert_type(sb_ref[:], jnp.int32)
@@ -224,7 +228,8 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit, lens, didx, n_diff):
     perlin = meta["perlin"]
 
-    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+               tex_ref, cam_ref,
                ptab_ref, misc_ref, fr_ref, i_ref, k_ref, pix_ref, sb_ref,
                cf_ref, dci_f_ref, dtab_ref):
         t_step = misc_ref[0].astype(jnp.int32)
@@ -245,6 +250,7 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
         sph_l = [sph_ref[n] for n in range(lens["sph"])]
         rect_l = [rect_ref[n] for n in range(lens["rect"])]
         tri_l = [tri_ref[n] for n in range(lens["tri"])]
+        box_l = [box_ref[n] for n in range(lens["box"])]
         vol_l = [vol_ref[n] for n in range(lens["vol"])]
         mat_l = [mat_ref[n] for n in range(lens["mat"])]
         tex_l = [tex_ref[n] for n in range(lens["tex"])]
@@ -275,7 +281,7 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             o += n_m
             for j, n in enumerate(didx["tex"]):
                 tex2[n] = dv[o + j]
-            tabs = (sph2, rect_l, tri2, vol_l, mat2, tex2)
+            tabs = (sph2, rect_l, tri2, box_l, vol_l, mat2, tex2)
             f_out, _, _ = _pixel_step_math(
                 meta, width, height, sq_off, max_bounces, spp, claim_limit,
                 tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys)
@@ -337,7 +343,7 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         fo, io, ko = pl.pallas_call(
             fwd_kernel,
             grid=(r128 // BLOCK_ROWS,),
-            in_specs=([smem] * 7 + [ptab_spec, smem]
+            in_specs=([smem] * 8 + [ptab_spec, smem]
                       + [spec3(NF), spec3(NJ), spec2, spec2, spec2]),
             out_specs=[spec3(NF), spec3(NJ), spec2],
             out_shape=[
@@ -358,7 +364,7 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         d_f, d_tab = pl.pallas_call(
             bwd_kernel,
             grid=(nblocks,),
-            in_specs=([smem] * 7 + [ptab_spec, smem]
+            in_specs=([smem] * 8 + [ptab_spec, smem]
                       + [spec3(RES_HI - RES_LO), spec3(NJ), spec2, spec2,
                          spec2, spec3(NF)]),
             out_specs=[spec3(NF), dtab_spec],
@@ -371,14 +377,14 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         return d_f, d_tab[0]
 
     @jax.custom_vjp
-    def step(sph, rect, tri, vol, mat, tex, camv, ptab,
+    def step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
              fstate, istate_f, keys_f, pix_f, sb_f, t_f):
-        tables = (sph, rect, tri, vol, mat, tex, camv, ptab)
+        tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
         return run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
 
-    def step_fwd(sph, rect, tri, vol, mat, tex, camv, ptab,
+    def step_fwd(sph, rect, tri, box, vol, mat, tex, camv, ptab,
                  fstate, istate_f, keys_f, pix_f, sb_f, t_f):
-        tables = (sph, rect, tri, vol, mat, tex, camv, ptab)
+        tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
         out = run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
         res = (tables, fstate[RES_LO:RES_HI], istate_f, keys_f, pix_f, sb_f,
                t_f)
@@ -398,7 +404,7 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         # scatter the flat diff cotangents back into zero tables
         o = 0
         zt = lambda a: jnp.zeros_like(a)
-        sph, rect, tri, vol, mat, tex, camv, ptab = tables
+        sph, rect, tri, box, vol, mat, tex, camv, ptab = tables
         d_sph = zt(sph)
         if didx["sph"]:
             d_sph = d_sph.at[jnp.asarray(didx["sph"])].set(
@@ -418,9 +424,9 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         if didx["tex"]:
             d_tex = d_tex.at[jnp.asarray(didx["tex"])].set(
                 d_flat[o:o + len(didx["tex"])])
-        return (d_sph, zt(rect), d_tri, zt(vol), d_mat, d_tex, zt(camv),
-                zt(ptab), d_f, zt(istate_f), zt(keys_f), zt(pix_f), zt(sb_f),
-                jnp.zeros_like(t_f))
+        return (d_sph, zt(rect), d_tri, zt(box), zt(vol), d_mat, d_tex,
+                zt(camv), zt(ptab), d_f, zt(istate_f), zt(keys_f), zt(pix_f),
+                zt(sb_f), jnp.zeros_like(t_f))
 
     step.defvjp(step_fwd, step_bwd)
     return step
@@ -500,11 +506,11 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
 
     step = _get_step(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit, interpret)
-    sph, rect, tri, vol, mat, tex, camv, ptab = tables
+    sph, rect, tri, box, vol, mat, tex, camv, ptab = tables
 
     def body(carry, t_f):
         f, i, k = carry
-        f, i, k = step(sph, rect, tri, vol, mat, tex, camv, ptab,
+        f, i, k = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
                        f, i, k, pix_f, sb_f, t_f)
         return (f, i, k), None
 

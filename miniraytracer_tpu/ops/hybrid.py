@@ -66,8 +66,11 @@ NE = 5
 
 
 def _ext_types(scene: T.SceneData):
-    """Which primitive types go through external flash kernels."""
-    return scene.n_spheres > B.MAX_PRIMS, scene.n_tris > B.MAX_PRIMS
+    """Which primitive types are intersected OUTSIDE the step kernel
+    (spheres/tris via flash cluster kernels; boxes via the XLA sweep —
+    box sets beyond the SMEM unroll budget are rare and cheap per test)."""
+    return (scene.n_spheres > B.MAX_PRIMS, scene.n_tris > B.MAX_PRIMS,
+            scene.has_boxes and scene.n_boxes > B.MAX_PRIMS)
 
 
 def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
@@ -77,7 +80,7 @@ def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
         return False
     if for_tpu and jax.default_backend() != "tpu":
         return False
-    ext_sph, ext_tri = _ext_types(scene)
+    ext_sph, ext_tri, _ext_box = _ext_types(scene)
     if scene.n_rects > B.MAX_PRIMS or scene.n_volumes > B.MAX_VOLS:
         return False
     if (scene.mat_type.shape[0] > B.MAX_MATS
@@ -109,13 +112,16 @@ def pack_scene_hybrid(scene: T.SceneData):
     (meta count 0 + dummy table: the step kernel sees them only through the
     external candidate rows)."""
     meta, tables = B.pack_scene(scene)
-    ext_sph, ext_tri = _ext_types(scene)
+    ext_sph, ext_tri, ext_box = _ext_types(scene)
     if ext_sph:
         meta = dict(meta, S=0)
         tables[0] = jnp.zeros((1,), jnp.float32)
     if ext_tri:
         meta = dict(meta, Tc=0)
         tables[2] = jnp.zeros((1,), jnp.float32)
+    if ext_box:
+        meta = dict(meta, Bx=0)
+        tables[3] = jnp.zeros((1,), jnp.float32)
     return meta, tables
 
 
@@ -125,7 +131,7 @@ def hybrid_accel(scene: T.SceneData, interpret: bool = False):
     the interpret-mode tests can exercise the full pipeline on CPU)."""
     from miniraytracer_tpu.ops import flash
 
-    ext_sph, ext_tri = _ext_types(scene)
+    ext_sph, ext_tri, _ext_box = _ext_types(scene)
     accel = {}
     if ext_tri:
         m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
@@ -211,9 +217,23 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
                 interpret=interpret)
         t_t = jnp.where(t_t < seed, t_t, INF)
 
-    # combine: sphere preferred on ties (scene_hit's type order)
-    ext_t = jnp.minimum(t_s, t_t)
-    is_s = t_s <= t_t
+    # big box sets: XLA one-sided slab sweep (any count, ~60 flops/test —
+    # book2's 400 ground boxes); uses the real rays (box_ts masks inactive)
+    _, _, ext_box = _ext_types(scene)
+    t_b = inf
+    i_b = jnp.zeros((n,), jnp.int32)
+    if ext_box:
+        tmax0 = jnp.full((n,), INF)
+        t_b, i_b = ix._chunked_min(
+            lambda s, c: ix.box_ts(scene, rays, s, c, tmin, tmax0),
+            scene.n_boxes, n)
+        t_b = jnp.where(alive & jnp.isfinite(t_b), t_b, INF)
+
+    # combine: scene_hit's type-order tie preference (sphere > tri > box)
+    ext_t = jnp.minimum(jnp.minimum(t_s, t_t), t_b)
+    is_s = t_s <= jnp.minimum(t_t, t_b)
+    is_t = ~is_s & (t_t <= t_b)
+    is_b = ~is_s & ~is_t
     has = ext_t < INF
     safe_t = jnp.where(has, ext_t, 1.0)
     from miniraytracer_tpu.ops.vecmath import vwhere
@@ -228,10 +248,15 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
         nrm = vwhere(is_s, n_sph, nrm)
         mat = jnp.where(is_s, m_sph, mat)
     if has_tri:
-        idx_t = jnp.where(~is_s & has, i_t, 0)
+        idx_t = jnp.where(is_t & has, i_t, 0)
         _, n_tri, _, _, m_tri = ix.tri_record(scene, rays, safe_t, idx_t)
-        nrm = vwhere(is_s, nrm, n_tri)
-        mat = jnp.where(is_s, mat, m_tri)
+        nrm = vwhere(is_t, n_tri, nrm)
+        mat = jnp.where(is_t, m_tri, mat)
+    if ext_box:
+        idx_b = jnp.where(is_b & has, i_b, 0)
+        _, n_box, _, _, m_box = ix.box_record(scene, rays, safe_t, idx_b)
+        nrm = vwhere(is_b, n_box, nrm)
+        mat = jnp.where(is_b, m_box, mat)
 
     nx = jnp.where(has, nrm.x, one)
     ny = jnp.where(has, nrm.y, 0.0)
@@ -247,10 +272,12 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
 
 
 def _make_step_kernel(meta, width, height, sq, max_bounces, image):
-    def kernel(sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref, cam_ref,
+    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+               tex_ref, cam_ref,
                ptab_ref, misc_ref, f_ref, i_ref, k_ref, ray_ref, pix_ref,
                ext_ref, fo_ref, io_ref, ko_ref, rayo_ref, *img_refs):
-        tabs = (sph_ref, rect_ref, tri_ref, vol_ref, mat_ref, tex_ref)
+        tabs = (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+                tex_ref)
         max_lum = misc_ref[0]
         sample_lo = misc_ref[1].astype(jnp.int32)
         n_samples = misc_ref[2].astype(jnp.int32)
@@ -306,7 +333,7 @@ def _step_call(meta, tables, fstate, istate, keys, rays_ct, pix, ext, misc,
     res = pl.pallas_call(
         kernel,
         grid=(r128 // BLOCK_ROWS,),
-        in_specs=([smem] * 7 + [ptab_spec, smem]
+        in_specs=([smem] * 8 + [ptab_spec, smem]
                   + [spec3(NF), spec3(NI), spec2, spec2, spec2, spec3(NE)]),
         out_specs=out_specs,
         out_shape=out_shape,
@@ -318,6 +345,180 @@ def _step_call(meta, tables, fstate, istate, keys, rays_ct, pix, ext, misc,
         f_out, i_out, k_out, ray_out = res
         img_out = None
     return f_out, i_out, k_out, ray_out, img_out
+
+
+# ---------------------------------------------------------------------------
+# Shade-only step kernel for the work-queue renderer
+# ---------------------------------------------------------------------------
+# The work queue (integrator.render_workqueue_pixels) keeps its prefix-sum
+# claiming / scatter-merge in XLA (they're cheap and global); only the
+# per-bounce SHADING — bounce_physics + the miss/emit/throughput advance —
+# moves into one kernel. Rows in: ro(3) rd(3) time beta(3) rad(3) depth_ok
+# alive keys ext(5); rows out: cont p(3) new_rd(3) beta(3) rad(3) hit
+# [+ img(4)], plus new_inside (int).
+
+SH_RO, SH_RD, SH_TIME, SH_BETA, SH_RAD, SH_DOK, SH_ALIVE = 0, 3, 6, 7, 10, 13, 14
+SH_NF = 15
+SO_CONT, SO_P, SO_RD, SO_BETA, SO_RAD = 0, 1, 4, 7, 10
+SO_NF = 13
+
+
+def _make_shade_kernel(meta, image):
+    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+               tex_ref, cam_ref, ptab_ref, f_ref, i_ref, k_ref, ext_ref,
+               fo_ref, io_ref, *img_refs):
+        tabs = (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+                tex_ref)
+        del cam_ref  # no camera regen in the shade step
+        ro = V3(f_ref[SH_RO], f_ref[SH_RO + 1], f_ref[SH_RO + 2])
+        rd = V3(f_ref[SH_RD], f_ref[SH_RD + 1], f_ref[SH_RD + 2])
+        time = f_ref[SH_TIME]
+        beta = V3(f_ref[SH_BETA], f_ref[SH_BETA + 1], f_ref[SH_BETA + 2])
+        radiance = V3(f_ref[SH_RAD], f_ref[SH_RAD + 1], f_ref[SH_RAD + 2])
+        depth_ok = f_ref[SH_DOK] > 0.0
+        alive = f_ref[SH_ALIVE] > 0.0
+        inside = i_ref[:]  # whole (8,128) block — i_ref[0] would broadcast
+        # row 0's counters over all sublanes (nested-dielectric corruption)
+        keys_b = k_ref[:]
+        ext = tuple(ext_ref[r] for r in range(NE))
+
+        b = B.bounce_physics(meta, tabs, ptab_ref, ro, rd, time, inside,
+                             keys_b, ext=ext)
+        scattered = depth_ok & ~b.is_light
+        add_emitted = ~(scattered & b.is_specular)
+        miss = alive & ~b.hit
+        bg = B.background_color(meta, rd, b.safe_t)
+        zero3 = V3(0.0 * b.safe_t, 0.0 * b.safe_t, 0.0 * b.safe_t)
+        radiance = radiance + B._vwhere(miss, beta * bg, zero3)
+        emit_mask = alive & b.hit & add_emitted
+        radiance = radiance + B._vwhere(emit_mask, beta * b.emitted, zero3)
+        cont = alive & b.hit & scattered
+        beta = B._vwhere(cont, beta * b.weight, beta)
+        cont = cont & ((beta.x > 0.0) | (beta.y > 0.0) | (beta.z > 0.0))
+
+        fo_ref[:] = jnp.stack((
+            jnp.where(cont, 1.0, 0.0),
+            b.p.x, b.p.y, b.p.z,
+            b.new_rd.x, b.new_rd.y, b.new_rd.z,
+            beta.x, beta.y, beta.z,
+            radiance.x, radiance.y, radiance.z,
+        ))
+        io_ref[:] = b.new_inside
+        if image:
+            (imgo_ref,) = img_refs
+            none = jnp.full_like(b.safe_t, -1.0)
+            imgo_ref[:] = jnp.stack([
+                jnp.where(cont, b.img_id, none), b.nrm.x, b.nrm.y, b.nrm.z])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "image", "interpret"))
+def _shade_call(meta, tables, fstate, istate, keys_b, ext, *, image,
+                interpret):
+    meta_d = dict(meta)
+    r128 = fstate.shape[1]
+    kernel = _make_shade_kernel(meta_d, image)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ptab_spec = pl.BlockSpec((96, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec3 = lambda rows: pl.BlockSpec((rows, BLOCK_ROWS, 128),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((SO_NF, r128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((r128, 128), jnp.int32),
+    ]
+    out_specs = [spec3(SO_NF), spec2]
+    if image:
+        out_shape.append(jax.ShapeDtypeStruct((4, r128, 128), jnp.float32))
+        out_specs.append(spec3(4))
+    res = pl.pallas_call(
+        kernel,
+        grid=(r128 // BLOCK_ROWS,),
+        in_specs=([smem] * 8 + [ptab_spec]
+                  + [spec3(SH_NF), spec2, spec2, spec3(NE)]),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*tables, fstate, istate, keys_b, ext)
+    if image:
+        f_out, i_out, img_out = res
+    else:
+        f_out, i_out = res
+        img_out = None
+    return f_out, i_out, img_out
+
+
+def make_workqueue_shader(scene, interpret=False):
+    """A drop-in replacement for the work queue's XLA shading phase
+    (integrator._shade_and_advance's semantics, minus HitRecord details):
+
+        shader(rays, keys_b, depth_ok, alive, beta, radiance)
+          -> (p V3, new_rd V3, new_inside, cont, beta' V3, radiance' V3)
+
+    Flash cluster kernels intersect the external types, one Pallas step
+    kernel does the in-SMEM sweeps + shading. `scene` must be concrete
+    (tables/accel are closed over)."""
+    meta_d, tables = pack_scene_hybrid(scene)
+    meta = tuple(sorted(meta_d.items()))
+    image = meta_d["image"]
+    accel = hybrid_accel(scene, interpret)
+    img_h, img_w = _image_dims(scene) if image else (None, None)
+    tables = tuple(tables)
+
+    def shader(rays, keys_b, depth_ok, alive, beta, radiance):
+        n = rays.time.shape[0]
+        rem = (-n) % (BLOCK_ROWS * 128)
+        n_pad = n + rem
+        padf = lambda a: (jnp.concatenate([a, jnp.zeros((rem,), a.dtype)])
+                          if rem else a)
+        t2 = lambda a: padf(a).reshape(n_pad // 128, 128)
+        er = _external_candidate(scene, accel, rays, alive, B.TMIN,
+                                 interpret)
+        ext = jnp.stack([t2(r) for r in er])
+        fstate = jnp.stack([t2(a) for a in (
+            rays.ro.x, rays.ro.y, rays.ro.z,
+            rays.rd.x, rays.rd.y, rays.rd.z, rays.time,
+            beta.x, beta.y, beta.z,
+            radiance.x, radiance.y, radiance.z,
+            jnp.where(depth_ok, 1.0, 0.0),
+            jnp.where(alive, 1.0, 0.0))])
+        istate = t2(rays.inside)
+        kb = t2(keys_b)
+        f_out, i_out, img_out = _shade_call(
+            meta, tables, fstate, istate, kb, ext, image=image,
+            interpret=interpret)
+        if image:
+            iid = img_out[0]
+            pend = iid >= 0.0
+            idx = jnp.where(pend, iid, 0.0).astype(jnp.int32)
+            u = 0.5 - jnp.arctan2(img_out[3], img_out[1]) / (2.0 * np.pi)
+            v = 0.5 + jnp.arcsin(jnp.clip(img_out[2], -1.0, 1.0)) / np.pi
+            from miniraytracer_tpu.models.textures import image_sample
+
+            h = jnp.zeros_like(iid)
+            w = jnp.zeros_like(iid)
+            for k in range(img_h.shape[0]):
+                h = jnp.where(idx == k, img_h[k], h)
+                w = jnp.where(idx == k, img_w[k], w)
+            texel = image_sample(scene, idx, h, w, u, v)
+            for r, comp in zip(range(SO_BETA, SO_BETA + 3),
+                               (texel.x, texel.y, texel.z)):
+                f_out = f_out.at[r].set(
+                    jnp.where(pend, f_out[r] * comp, f_out[r]))
+        out = lambda r: f_out[r].reshape(-1)[:n]
+        p = V3(out(SO_P), out(SO_P + 1), out(SO_P + 2))
+        new_rd = V3(out(SO_RD), out(SO_RD + 1), out(SO_RD + 2))
+        beta2 = V3(out(SO_BETA), out(SO_BETA + 1), out(SO_BETA + 2))
+        rad2 = V3(out(SO_RAD), out(SO_RAD + 1), out(SO_RAD + 2))
+        cont = out(SO_CONT) > 0.0
+        new_inside = i_out.reshape(-1)[:n]
+        return p, new_rd, new_inside, cont, beta2, rad2
+
+    return shader
 
 
 # ---------------------------------------------------------------------------

@@ -178,7 +178,10 @@ def sphere_record(scene: T.SceneData, rays: Rays, t, idx):
     # padded/inactive rows carry radius 0 — inf here becomes NaN through the
     # downstream normalize and masked selects can't scrub NaN cotangents
     safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
-    n = (p - cen) / safe_rad  # negative radius flips normal
+    # *(1/rad), NOT /rad: the exact expression the fused kernel's sphere
+    # sweep uses (ops/bounce.py) — the two must stay bit-identical or
+    # last-ulp normal skew seeds chaotic path divergence between renderers
+    n = (p - cen) * (1.0 / safe_rad)  # negative radius flips normal
     # for true hits |p-cen| == |radius| so this is an exact no-op (and keeps
     # the hollow-sphere sign flip); for masked lanes (caller selects by type)
     # it bounds the garbage magnitude so downstream masked branches can't
@@ -270,6 +273,103 @@ def rect_record(scene: T.SceneData, rays: Rays, t, idx):
     u = (ii - i0) / (i1 - i0)
     v = (jj - j0) / (j1 - j0)
     n = ek * sign
+    return p, n, u, v, mat
+
+
+# ---------------------------------------------------------------------------
+# Boxes (box.h: 6 outward one-sided rects as ONE primitive; rotate_y +
+# translate wrappers baked, scene_object.cpp:9-98)
+# ---------------------------------------------------------------------------
+
+
+def _box_local_rays(scene: T.SceneData, rays: Rays, s):
+    """World->local ray transform for a box slice: inverse rotate_y about y
+    after un-translating (the transpose of builder._roty_fwd)."""
+    sin_t = scene.box_cs[s, 0][:, None]
+    cos_t = scene.box_cs[s, 1][:, None]
+    ox = rays.ro.x[None, :] - scene.box_off[s, 0][:, None]
+    oy = rays.ro.y[None, :] - scene.box_off[s, 1][:, None]
+    oz = rays.ro.z[None, :] - scene.box_off[s, 2][:, None]
+    lox = cos_t * ox - sin_t * oz
+    loz = cos_t * oz + sin_t * ox
+    ldx = cos_t * rays.rd.x[None, :] - sin_t * rays.rd.z[None, :]
+    ldz = cos_t * rays.rd.z[None, :] + sin_t * rays.rd.x[None, :]
+    ldy = jnp.broadcast_to(rays.rd.y[None, :], ldx.shape)
+    return (lox, oy, loz), (ldx, ldy, ldz)
+
+
+def _box_face_ts(lo, ld, bmin, bmax):
+    """Candidate t of the 6 one-sided faces -> (6, ...) stack. Front-facing
+    tests per face as in the rect decomposition (rect.cpp:26: reject
+    dot(dir, n) > 0); out-of-bounds or backfacing faces return INF."""
+    cands = []
+    axes = ((0, 1, 2), (1, 0, 2), (2, 0, 1))
+    for a, b, c in axes:
+        ld_a = ld[a]
+        inv = 1.0 / jnp.where(
+            jnp.abs(ld_a) > 1e-12, ld_a, jnp.where(ld_a >= 0, 1e-12, -1e-12)
+        )
+        for bound, facing in ((bmin[a], ld_a > 0), (bmax[a], ld_a < 0)):
+            t = (bound - lo[a]) * inv
+            bb = lo[b] + t * ld[b]
+            cc = lo[c] + t * ld[c]
+            okf = (facing & (bb >= bmin[b]) & (bb <= bmax[b])
+                   & (cc >= bmin[c]) & (cc <= bmax[c]))
+            cands.append(jnp.where(okf, t, INF))
+    return jnp.stack(cands, axis=0)
+
+
+def box_ts(scene: T.SceneData, rays: Rays, start, count, tmin, tmax):
+    s = slice(start, start + count)
+    lo, ld = _box_local_rays(scene, rays, s)
+    bmin = tuple(scene.box_lo[s, k][:, None] for k in range(3))
+    bmax = tuple(scene.box_hi[s, k][:, None] for k in range(3))
+    t = jnp.min(_box_face_ts(lo, ld, bmin, bmax), axis=0)  # (C, N)
+    valid = ((t >= tmin) & (t <= tmax[None, :])
+             & scene.box_active[s][:, None])
+    return jnp.where(valid, t, INF)
+
+
+def box_record(scene: T.SceneData, rays: Rays, t, idx):
+    """Record for box `idx` at parameter `t`: winner face re-derived by
+    argmin over the 6 candidates (cheap: one box per lane). Face uv follows
+    the rect ctor axis convention in the LOCAL frame (u, v over the two
+    free axes) — box materials in the reference scene set are untextured,
+    so the swapped-bound u/v mirroring of box.h's rect ctor args is not
+    reproduced."""
+    (lox, loy, loz, hix, hiy, hiz, sn, cs, ofx, ofy, ofz, mat) = lookup_cols(
+        idx,
+        (
+            scene.box_lo[:, 0], scene.box_lo[:, 1], scene.box_lo[:, 2],
+            scene.box_hi[:, 0], scene.box_hi[:, 1], scene.box_hi[:, 2],
+            scene.box_cs[:, 0], scene.box_cs[:, 1],
+            scene.box_off[:, 0], scene.box_off[:, 1], scene.box_off[:, 2],
+            scene.box_mat,
+        ),
+    )
+    ox = rays.ro.x - ofx
+    oy = rays.ro.y - ofy
+    oz = rays.ro.z - ofz
+    lo = (cs * ox - sn * oz, oy, cs * oz + sn * ox)
+    ld = (cs * rays.rd.x - sn * rays.rd.z, rays.rd.y,
+          cs * rays.rd.z + sn * rays.rd.x)
+    bmin = (lox, loy, loz)
+    bmax = (hix, hiy, hiz)
+    cands = _box_face_ts(lo, ld, bmin, bmax)  # (6, N)
+    face = jnp.argmin(jnp.abs(cands - t[None, :]), axis=0)
+    axis = face // 2
+    neg = (face % 2) == 0  # min-bound face -> outward normal -axis
+    sgn = jnp.where(neg, -1.0, 1.0)
+    nl = (jnp.where(axis == 0, sgn, 0.0), jnp.where(axis == 1, sgn, 0.0),
+          jnp.where(axis == 2, sgn, 0.0))
+    # local -> world normal (builder._roty_fwd)
+    n = V3(cs * nl[0] + sn * nl[2], nl[1], cs * nl[2] - sn * nl[0])
+    p = rays.ro + rays.rd * t
+    pl = (lo[0] + t * ld[0], lo[1] + t * ld[1], lo[2] + t * ld[2])
+    ext = tuple(jnp.maximum(bmax[k] - bmin[k], 1e-20) for k in range(3))
+    fu = tuple((pl[k] - bmin[k]) / ext[k] for k in range(3))
+    u = jnp.where(axis == 0, fu[1], fu[0])
+    v = jnp.where(axis == 2, fu[1], fu[2])
     return p, n, u, v, mat
 
 
@@ -639,15 +739,30 @@ def scene_hit(
             lambda s, c: tri_ts(scene, rays, s, c, tmin, tmax0), scene.n_tris, n
         )
 
+    if scene.has_boxes:
+        t_b, i_b = _chunked_min(
+            lambda s, c: box_ts(scene, rays, s, c, tmin, tmax0),
+            scene.n_boxes, n,
+        )
+    else:
+        t_b = jnp.full((n,), INF)
+        i_b = jnp.zeros((n,), jnp.int32)
+
     # combine surface types
-    t_surf = jnp.minimum(jnp.minimum(t_s, t_r), t_t)
+    t_surf = jnp.minimum(jnp.minimum(jnp.minimum(t_s, t_r), t_t), t_b)
     ptype = jnp.where(
         t_s == t_surf,
         T.PRIM_SPHERE,
-        jnp.where(t_r == t_surf, T.PRIM_RECT, T.PRIM_TRI),
+        jnp.where(
+            t_r == t_surf,
+            T.PRIM_RECT,
+            jnp.where(t_t == t_surf, T.PRIM_TRI, T.PRIM_BOX),
+        ),
     ).astype(jnp.int32)
     pidx = jnp.where(
-        t_s == t_surf, i_s, jnp.where(t_r == t_surf, i_r, i_t)
+        t_s == t_surf,
+        i_s,
+        jnp.where(t_r == t_surf, i_r, jnp.where(t_t == t_surf, i_t, i_b)),
     ).astype(jnp.int32)
 
     # volumes scatter inside [entry, min(exit, nearest surface)]
@@ -668,22 +783,35 @@ def scene_hit(
     is_s = ptype == T.PRIM_SPHERE
     is_r = ptype == T.PRIM_RECT
     is_t = ptype == T.PRIM_TRI
+    is_b = ptype == T.PRIM_BOX
     p_s, n_s, u_s, v_s, m_s = sphere_record(scene, rays, safe_t, jnp.where(is_s, safe_idx, 0))
     p_r, n_r, u_r, v_r, m_r = rect_record(scene, rays, safe_t, jnp.where(is_r, safe_idx, 0))
     p_t3, n_t3, u_t3, v_t3, m_t3 = tri_record(scene, rays, safe_t, jnp.where(is_t, safe_idx, 0))
+    if scene.has_boxes:
+        p_b, n_b, u_b, v_b, m_b = box_record(
+            scene, rays, safe_t, jnp.where(is_b, safe_idx, 0))
+    else:
+        zb = jnp.zeros_like(safe_t)
+        p_b, u_b, v_b = V3(zb, zb, zb), zb, zb
+        n_b = V3(jnp.ones_like(safe_t), zb, zb)
+        m_b = jnp.zeros_like(safe_t).astype(jnp.int32)
 
     p = rays.ro + rays.rd * safe_t
     # volume normal arbitrary (1,0,0) (volumes.cpp:29)
     n_vol = V3(jnp.ones_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
-    nrm = vwhere(is_s, n_s, vwhere(is_r, n_r, vwhere(is_t, n_t3, n_vol)))
+    nrm = vwhere(is_s, n_s,
+                 vwhere(is_r, n_r,
+                        vwhere(is_t, n_t3, vwhere(is_b, n_b, n_vol))))
     # sanitize MISS lanes: their per-type records are garbage (safe_t=1,
     # idx=0) — e.g. a far-from-sphere point gives a normal of magnitude >> 1.
     # The caller masks the VALUES, but garbage magnitudes feed masked shading
     # branches whose backward factors can overflow to inf, and scatter-adding
     # +-inf cotangents into the scene tables produces NaN gradients.
     nrm = vwhere(hit, nrm, n_vol)
-    uu = jnp.where(is_s, u_s, jnp.where(is_r, u_r, jnp.where(is_t, u_t3, 0.0)))
-    vv = jnp.where(is_s, v_s, jnp.where(is_r, v_r, jnp.where(is_t, v_t3, 0.0)))
+    uu = jnp.where(is_s, u_s, jnp.where(is_r, u_r, jnp.where(
+        is_t, u_t3, jnp.where(is_b, u_b, 0.0))))
+    vv = jnp.where(is_s, v_s, jnp.where(is_r, v_r, jnp.where(
+        is_t, v_t3, jnp.where(is_b, v_b, 0.0))))
     uu = jnp.where(hit, uu, 0.0)
     vv = jnp.where(hit, vv, 0.0)
     mat = jnp.where(
@@ -695,10 +823,14 @@ def scene_hit(
             jnp.where(
                 is_t,
                 m_t3,
-                lookup_cols(
-                    jnp.where(ptype == T.PRIM_VOLUME, safe_idx, 0),
-                    (scene.vol_mat,),
-                )[0],
+                jnp.where(
+                    is_b,
+                    m_b,
+                    lookup_cols(
+                        jnp.where(ptype == T.PRIM_VOLUME, safe_idx, 0),
+                        (scene.vol_mat,),
+                    )[0],
+                ),
             ),
         ),
     ).astype(jnp.int32)

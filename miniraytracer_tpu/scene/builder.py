@@ -64,6 +64,7 @@ class SceneBuilder:
         self.tri_bulk = []  # vectorized blocks: 7 column arrays each
         self.rects = []  # (ei, ej, ek, i0, i1, j0, j1, k, sign, mat)
         self.tris = []  # (m, u, v, mn, un, vn, mat)
+        self.boxes = []  # (lo, hi, (sin, cos), off, mat)
         self.volumes = []  # (btype, bparams[12], density, mat)
         self.materials = []  # (type, tex, param)
         self.textures = []  # (type, c0, c1, scale, img)
@@ -196,8 +197,21 @@ class SceneBuilder:
         self.tri_bulk.append((a, u, v, an, bn, cn, m))
 
     def box(self, bmin, bmax, mat, rot_y_deg=0.0, offset=(0, 0, 0)):
-        """Axis-aligned box as 12 outward-wound triangles, with optional
-        baked rotate_y + translate (replaces box.h + transforms)."""
+        """Box as ONE primitive (box.h: 6 outward one-sided rects) with the
+        rotate_y + translate wrappers baked as (sin, cos, offset). Hit =
+        nearest front-facing face; a ray starting inside sees nothing
+        (rect.cpp:26 one-sidedness)."""
+        r = math.radians(rot_y_deg)
+        self.boxes.append((np.asarray(bmin, _F), np.asarray(bmax, _F),
+                           np.array([math.sin(r), math.cos(r)], _F),
+                           np.asarray(offset, _F), mat))
+        return (T.PRIM_BOX, len(self.boxes) - 1)
+
+    def box_tris(self, bmin, bmax, mat, rot_y_deg=0.0, offset=(0, 0, 0)):
+        """Legacy form: the same box as 12 outward-wound triangles (kept as
+        the equivalence oracle for the box primitive; triangle backface
+        culling admits isInside>0 rays where the rect decomposition never
+        does — a deliberate reference quirk the box prim reproduces)."""
         bmin = np.asarray(bmin, _F)
         bmax = np.asarray(bmax, _F)
         x0, y0, z0 = bmin
@@ -315,6 +329,11 @@ class SceneBuilder:
                 jnp.asarray(x) for x in merged
             )
             tact = jnp.asarray(np.ones(merged[0].shape[0], bool))
+        (blo, bhi, bcs, boff, bmat), bact = pack(
+            self.boxes, [v3, v3, ((2,), _F), v3, i_],
+            (np.zeros(3), np.full(3, -1.0), np.array([0.0, 1.0]),
+             np.zeros(3), 0),
+        )
         (vbt, vbp, vden, vmat), vact = pack(
             self.volumes, [i_, ((12,), _F), s_, i_],
             (0, np.zeros(12), 1.0, 0),
@@ -354,6 +373,8 @@ class SceneBuilder:
             rect_active=ract,
             tri_m=tm, tri_u=tu, tri_v=tv, tri_mn=tmn, tri_un=tun, tri_vn=tvn,
             tri_mat=tmat, tri_active=tact,
+            box_lo=blo, box_hi=bhi, box_cs=bcs, box_off=boff, box_mat=bmat,
+            box_active=bact,
             vol_btype=vbt, vol_bparams=vbp, vol_density=vden, vol_mat=vmat,
             vol_active=vact,
             mat_type=mt, mat_tex=mtex, mat_param=mpar,
@@ -366,6 +387,7 @@ class SceneBuilder:
             name=self.name,
             has_perlin=any(t[0] == T.TEX_PERLIN for t in self.textures),
             has_image=any(t[0] == T.TEX_IMAGE for t in self.textures),
+            has_boxes=bool(self.boxes),
         )
 
 

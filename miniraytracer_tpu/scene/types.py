@@ -47,6 +47,7 @@ PRIM_SPHERE = 0
 PRIM_RECT = 1
 PRIM_TRI = 2
 PRIM_VOLUME = 3
+PRIM_BOX = 4
 
 # volume boundary type codes
 VOLB_SPHERE = 0
@@ -110,6 +111,17 @@ class SceneData:
     tri_mat: jnp.ndarray  # (T,) i32
     tri_active: jnp.ndarray  # (T,) bool
 
+    # --- boxes (box.h: 6 outward one-sided rects, as ONE primitive with
+    # the rotate_y + translate wrappers baked; hit = nearest front-facing
+    # face — a ray starting inside sees nothing, matching the one-sided
+    # rect decomposition, rect.cpp:26) ---
+    box_lo: jnp.ndarray  # (B,3) local-frame min corner
+    box_hi: jnp.ndarray  # (B,3) local-frame max corner
+    box_cs: jnp.ndarray  # (B,2) (sin, cos) of the baked rotate_y
+    box_off: jnp.ndarray  # (B,3) baked translate
+    box_mat: jnp.ndarray  # (B,) i32
+    box_active: jnp.ndarray  # (B,) bool
+
     # --- constant-density volumes (volumes.h) ---
     vol_btype: jnp.ndarray  # (V,) i32 VOLB_*
     vol_bparams: jnp.ndarray  # (V,12) sphere: c(3),r | box: bmin(3),bmax(3),sin,cos,offset(3)
@@ -151,6 +163,8 @@ class SceneData:
     name: str = _meta(default="scene")
     has_perlin: bool = _meta(default=False)  # prune perlin gathers statically
     has_image: bool = _meta(default=False)  # prune image gathers statically
+    has_boxes: bool = _meta(default=False)  # prune box sweeps statically
+    # (the box table pads to >=1 row; shapes alone can't distinguish empty)
     # False (default) replicates the reference's non-normalized cosine sample
     # (pcg.cpp:87-98 quirk — needed for image parity); True uses the textbook
     # cosine lobe (consistent MIS estimator)
@@ -180,3 +194,7 @@ class SceneData:
     @property
     def n_volumes(self):
         return self.vol_density.shape[0]
+
+    @property
+    def n_boxes(self):
+        return self.box_mat.shape[0]

@@ -116,7 +116,7 @@ def test_can_fuse_gating():
     meta, tables = bounce.pack_scene(sc)
     assert meta["S"] == sc.n_spheres and meta["R"] == sc.n_rects
     # camera tail layout: lens_radius, time0, time1 at offsets 18..20
-    camv = np.asarray(tables[6])
+    camv = np.asarray(tables[7])
     assert camv.shape[0] == 21
     assert camv[18] == pytest.approx(float(sc.camera.lens_radius))
     assert camv[19] == pytest.approx(float(sc.camera.time0))

@@ -54,7 +54,17 @@ def test_bvh_matches_brute_force_on_meshes(tri_scene):
 
 
 def test_bvh_exact_on_boxes():
-    scene = cornell_box(1.0)  # 12 box triangles
+    # cornell's box is a BOX prim now; rebuild it as baked triangles so the
+    # triangle BVH has a mesh to index (this test is about the BVH)
+    from miniraytracer_tpu.models.scenes import SceneBuilder, _cornell_camera
+
+    b = SceneBuilder()
+    b.name = "cornell_tris"
+    _cornell_camera(b, 1.0)
+    white = b.lambertian(b.tex_const([0.73, 0.73, 0.73]))
+    b.box_tris([0, 0, 0], [165, 330, 165], white, rot_y_deg=15.0,
+               offset=[265, 0, 295])
+    scene = b.build()
     bvh = bvh_mod.build_tri_bvh(scene, leaf_size=2)
     rng = np.random.default_rng(8)
     n = 256

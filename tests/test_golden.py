@@ -39,9 +39,9 @@ def test_scene_matches_golden(goldens, sid):
 
 
 def test_scene_inventory_matches_reference():
-    """Object counts per scene vs scene.cpp generators (boxes are 12 tris)."""
+    """Object counts per scene vs scene.cpp generators (boxes are prims)."""
     cb = S.cornell_box(1.0)
-    assert cb.n_rects == 6 and cb.n_tris == 12  # walls + one box
+    assert cb.n_rects == 6 and cb.n_boxes == 1  # walls + one box
     assert sum(bool(a) for a in np.asarray(cb.sph_active)) == 1  # glass sphere
     assert cb.lights == ((1, 2),)  # only the light (count-1 quirk, scene.cpp:326-329)
     assert not cb.use_sky
@@ -59,8 +59,8 @@ def test_scene_inventory_matches_reference():
     assert tr.n_rects == 6
 
     b2 = S.book2_final(1.0)
-    # 400 ground boxes * 12 tris
-    assert b2.n_tris == 400 * 12
+    # 20x20 ground boxes as box prims (scene.cpp:409-421)
+    assert b2.n_boxes == 400
     # 1000 cluster + 6 feature spheres (orange moving, glass, metal, earth,
     # perlin, subsurface boundary) — scene.cpp:386-478
     assert sum(bool(a) for a in np.asarray(b2.sph_active)) == 1006

@@ -76,9 +76,11 @@ def _statistical(scene, W, H, spp, bounces, mean_tol=5e-3, ray_tol=0.02):
 def test_hybrid_gating():
     assert hybrid.can_hybrid(S.earth(1.0), for_tpu=False)
     assert hybrid.can_hybrid(S.triangles(1.0), for_tpu=False)
-    assert hybrid.can_hybrid(S.book2_final(1.0), for_tpu=False)
     # per-sphere materials blow the SMEM mat table budget
     assert not hybrid.can_hybrid(S.random_spheres(1.0), for_tpu=False)
+    # book2's 400 box prims go through the external XLA sweep
+    assert hybrid.can_hybrid(S.book2_final(1.0), for_tpu=False)
+    assert hybrid._ext_types(S.book2_final(1.0)) == (True, False, True)
 
 
 def test_hybrid_matches_wavefront_earth():
@@ -101,7 +103,60 @@ def test_hybrid_ext_spheres_statistical():
     _statistical(_ext_sphere_scene(), 16, 16, 16, 8)
 
 
-def test_hybrid_book2_statistical():
-    """Both external types + volumes + image + moving spheres."""
-    _statistical(S.book2_final(1.0), 10, 10, 4, 6, mean_tol=2e-2,
-                 ray_tol=0.05)
+def test_workqueue_fused_shade_matches_xla():
+    """The work-queue renderer with the shade-step kernel vs its XLA
+    shading phase: same claims, same estimator. Uses >128 lanes so state
+    spans MULTIPLE (8,128)-tile sublane rows — regression for the i_ref[0]
+    bug that broadcast row 0's nested-dielectric counters over the whole
+    block (caught on-chip as 23% shorter glass paths)."""
+    import jax.numpy as jnp
+
+    sc = _ext_sphere_scene(n_sph=80)
+    W = H = 18  # 324 lanes -> 3 sublane rows
+    offs, ns = integ.sample_offsets(4)
+    n_pix = W * H
+    a0, c0, r0 = integ.render_workqueue_pixels(
+        sc, n_pix, n_pix, offs, ns, jnp.float32(1e9),
+        width=W, height=H, max_bounces=8)
+    a1, c1, r1 = integ.render_workqueue_pixels(
+        sc, n_pix, n_pix, offs, ns, jnp.float32(1e9),
+        width=W, height=H, max_bounces=8, fused_shade=True, interpret=True)
+    assert abs(float(r0) - float(r1)) / float(r0) < 2e-3, (r0, r1)
+    f0 = np.asarray((a0 * (1.0 / jnp.maximum(c0, 1.0))).arr)
+    f1 = np.asarray((a1 * (1.0 / jnp.maximum(c1, 1.0))).arr)
+    rel = np.abs(f0.mean(0) - f1.mean(0)) / np.maximum(f0.mean(0), 1e-6)
+    assert rel.max() < 5e-3, rel
+
+
+def test_hybrid_book2_class_statistical():
+    """book2's feature mix — both external types + volumes + image + moving
+    spheres — at an in-SMEM box count (book2 itself routes its 400 box
+    prims through the EXTERNAL XLA sweep; the in-SMEM unroll here also
+    covers the kernel's box branch)."""
+    img = np.random.RandomState(3).uniform(0.05, 1.0, (32, 64, 3))
+    b = SceneBuilder()
+    b.name = "book2_class"
+    b.set_camera([0, 3, 12], [0, 1, 0], [0, 1, 0], 40.0, 1.0,
+                 aperture=0.0, focus_dist=10.0, t0=0.0, t1=1.0)
+    gray = b.lambertian(b.tex_const([0.5, 0.5, 0.5]))
+    green = b.lambertian(b.tex_const([0.48, 0.83, 0.53]))
+    b.add_light(b.xz_rect(2, -2, -2, 2, 8,
+                          b.diffuse_light(b.tex_const([1, 1, 1]), 7.0)))
+    for i in range(24):
+        x0 = -6 + (i % 6) * 2.0
+        z0 = -6 + (i // 6) * 2.0
+        b.box([x0, 0, z0], [x0 + 1.9, 0.2 + 0.1 * (i % 5), z0 + 1.9], green)
+    rng_ = np.random.RandomState(0)
+    for i in range(80):
+        p = rng_.uniform(-5, 5, 3)
+        p[1] = rng_.uniform(0.5, 3)
+        b.sphere(p.tolist(), 0.25, gray)
+    b.sphere([0, 1.5, 2], 1.0, b.lambertian(b.tex_image(
+        img.astype(np.float32))))
+    b.sphere([-2, 1.5, 1], 0.8, b.dielectric(1.5))
+    b.sphere([2, 1.2, 0], 0.6, gray, center1=[2.4, 1.2, 0], t0=0.0, t1=1.0)
+    b.volume_sphere([0, 1, 0], 30.0, 0.01, b.tex_const([1, 1, 1]))
+    b.use_sky = False
+    sc = b.build()
+    assert hybrid.can_hybrid(sc, for_tpu=False)
+    _statistical(sc, 10, 10, 4, 6, mean_tol=2e-2, ray_tol=0.05)

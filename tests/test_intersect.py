@@ -121,12 +121,13 @@ def test_triangle_hit_and_backface_cull():
     assert bool(rec_bi.hit[0])
 
 
-def test_box_is_12_one_sided_triangles():
+def test_box_is_one_sided_prim():
+    """The box primitive (box.h: 6 outward one-sided rects as ONE prim)."""
     b = base_builder()
     m = b.lambertian(b.tex_const([1, 1, 1]))
     b.box([0, 0, 0], [1, 1, 1], m)
     scene = b.build()
-    assert scene.n_tris == 12
+    assert scene.n_boxes == 1 and scene.has_boxes
     rec = ix.scene_hit(scene, mk_rays([0.5, 0.5, 3], [0, 0, -1]))
     assert bool(rec.hit[0])
     np.testing.assert_allclose(float(rec.t[0]), 2.0, rtol=1e-5)
@@ -134,6 +135,44 @@ def test_box_is_12_one_sided_triangles():
     # from inside: all faces backfacing -> no hit (matches one-sided rects)
     rec_in = ix.scene_hit(scene, mk_rays([0.5, 0.5, 0.5], [0, 0, -1]))
     assert not bool(rec_in.hit[0])
+
+
+def test_box_prim_matches_box_tris():
+    """Box prim vs the legacy 12-triangle bake: identical hits/normals on
+    exterior random rays (the equivalence oracle for the new primitive)."""
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.ops.vecmath import V3 as _V3
+
+    def mk(tris, rot):
+        b = base_builder()
+        m = b.lambertian(b.tex_const([1, 1, 1]))
+        f = b.box_tris if tris else b.box
+        f([-1, 0, -1], [1, 1.5, 1], m, rot_y_deg=rot, offset=(0.5, 0, 0.5))
+        f([-3, 0, -1], [-2, 2.5, 0], m)
+        return b.build()
+
+    rng = np.random.RandomState(1)
+    N = 5000
+    ro = _V3(*(jnp.asarray(rng.uniform(-4, 4, N).astype(np.float32))
+               for _ in range(3)))
+    d = rng.normal(size=(3, N)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0)
+    rd = _V3(*(jnp.asarray(d[k]) for k in range(3)))
+    rays = ix.Rays(ro=ro, rd=rd, time=jnp.zeros((N,)),
+                   inside=jnp.zeros((N,), jnp.int32))
+    for rot in (0.0, 18.0):
+        rt = ix.scene_hit(mk(True, rot), rays)
+        rb = ix.scene_hit(mk(False, rot), rays)
+        assert (np.asarray(rt.hit) == np.asarray(rb.hit)).all()
+        both = np.asarray(rt.hit)
+        tt, tb = np.asarray(rt.t)[both], np.asarray(rb.t)[both]
+        rel = np.abs(tt - tb) / np.maximum(np.abs(tt), 1e-9)
+        assert rel.max() < 1e-4, rel.max()
+        for c in "xyz":
+            nt = np.asarray(getattr(rt.n, c))[both]
+            nb_ = np.asarray(getattr(rb.n, c))[both]
+            assert np.abs(nt - nb_).max() < 1e-6
 
 
 def test_rotated_translated_box():

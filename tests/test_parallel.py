@@ -119,7 +119,32 @@ def test_train_step_loss_decreases_and_grads_flow():
 def test_all_param_gradients_finite():
     """NaN-free backward through every differentiable leaf (geometry sqrt
     branches are the usual culprits — the double-where pattern guards them)."""
-    scene = cornell_box(1.0)  # sphere + rects + tris + light MIS + dielectric
+    # cornell (sphere + rects + BOX prim + light MIS + dielectric) plus one
+    # real triangle so the tri_m geometry-gradient leaf is exercised (the
+    # cornell box became a box primitive and left the tri table empty)
+    from miniraytracer_tpu.models.scenes import SceneBuilder, _cornell_camera
+
+    b = SceneBuilder()
+    b.name = "cornell_grad"
+    _cornell_camera(b, 1.0)
+    white = b.lambertian(b.tex_const([0.73, 0.73, 0.73]))
+    green = b.lambertian(b.tex_const([0.12, 0.45, 0.15]))
+    red = b.lambertian(b.tex_const([0.65, 0.05, 0.05]))
+    light = b.diffuse_light(b.tex_const([15.0, 15.0, 15.0]))
+    b.yz_rect(555, 0, 0, 555, 555, green)
+    b.yz_rect(0, 555, 0, 555, 0, red)
+    b.add_light(b.xz_rect(343, 213, 227, 332, 554, light))
+    b.xz_rect(555, 0, 0, 555, 555, white)
+    b.xz_rect(0, 555, 0, 555, 0, white)
+    b.xy_rect(0, 555, 0, 555, 555, white)
+    b.box([0, 0, 0], [165, 330, 165], white, rot_y_deg=15.0,
+          offset=[265, 0, 295])
+    b.sphere([190, 90, 190], 90, b.dielectric(1.5))
+    # big triangle just in front of the back wall: guaranteed camera hits
+    # even at 8x8x1spp so the tri_m gradient leaf is nonzero
+    b.triangle([30, 30, 540], [275, 520, 540], [525, 30, 540], white)
+    b.use_sky = False
+    scene = b.build()
     W = H = 8
     offs, _ = integ.sample_offsets(1)
     pix = jnp.arange(W * H, dtype=jnp.uint32)
