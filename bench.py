@@ -21,8 +21,11 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import os
+import subprocess
+import sys
 import time
 
 BASELINE_MRAYS = 8.0  # measured: reference CPU, Cornell 500x500, 8 threads
@@ -89,18 +92,30 @@ def main():
                          "is fuse-eligible (auto), always (on), or never "
                          "(off).")
     ap.add_argument("--scene", type=str, default="cornell_box")
-    ap.add_argument("--wait-minutes", type=float, default=12.0,
+    ap.add_argument("--wait-minutes", type=float, default=45.0,
                     help="how long to wait for the TPU tunnel before falling "
-                         "back to the cached result")
+                         "back to the cached result. The default covers a "
+                         "full tunnel down-cycle plus the 2-4 min cold first "
+                         "op (the 12-min default lost to the cycle in rounds "
+                         "1 and 3).")
     args = ap.parse_args()
 
     # the axon tunnel cycles up/down; wait for an up-window, else report the
-    # last successful measurement (flagged) rather than hanging the driver
+    # last successful measurement (flagged) rather than hanging the driver.
+    # Every probe attempt is logged to stderr so a cached fallback is
+    # auditable from the driver's capture.
     deadline = time.time() + args.wait_minutes * 60
-    healthy = _tpu_healthy()
-    while not healthy and time.time() < deadline:
-        time.sleep(45)
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
         healthy = _tpu_healthy()
+        print(f"[bench] tpu probe #{attempt}: "
+              f"{'UP' if healthy else 'down'} ({time.time()-t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        if healthy or time.time() >= deadline:
+            break
+        time.sleep(45)
     if not healthy:
         if os.path.exists(CACHE):
             with open(CACHE) as f:
@@ -230,6 +245,9 @@ def main():
         "vs_baseline": round(fwdbwd_mrays / BASELINE_MRAYS, 3),
         "extra": {
             "fwd_mrays_per_s": round(fwd_mrays, 3),
+            # which renderer produced fwd_mrays_per_s (the distributed
+            # wavefront auto-selects the fused bounce kernel when eligible)
+            "fwd_renderer": fstats["renderer"],
             "rays_per_pass_while": rays_per_pass,
             "rays_per_pass_scan": scan_rays,
             "loss": float(loss),
@@ -240,6 +258,13 @@ def main():
             "spp_step": args.spp_step,
             "fused_ad": fused,
             "done_frac": round(done_frac, 5),
+            # provenance stamp: a cached fallback (cached_from_previous_run)
+            # carries the ORIGINAL live measurement's time/device/rev, so a
+            # stale or wrong-config cache is distinguishable from a fresh run
+            "measured_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+            "device_kind": jax.devices()[0].device_kind,
+            "git_rev": _git_rev(),
         },
     }
     try:
@@ -248,6 +273,17 @@ def main():
     except OSError:
         pass
     print(json.dumps(result))
+
+
+def _git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 if __name__ == "__main__":

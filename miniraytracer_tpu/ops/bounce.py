@@ -403,544 +403,542 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
     nL = max(len(lights), 1)
     sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref, tex_ref = tabs
 
-    if True:  # keep the original kernel-body indentation for the moved code
-        if True:
-            # ---------------- scene_hit (inline, running-winner record) --------
-            if ext is None:
-                best_t = jnp.full_like(time, INF)
-                # winner record fields, updated whenever a candidate is better
-                w_n = V3(jnp.ones_like(time), jnp.zeros_like(time),
-                         jnp.zeros_like(time))
-                w_mat = jnp.zeros_like(inside)
-            else:
-                ext_t, ext_nx, ext_ny, ext_nz, ext_mat = ext
-                best_t = ext_t
-                w_n = V3(ext_nx, ext_ny, ext_nz)
-                w_mat = ext_mat.astype(jnp.int32)
+    # ---------------- scene_hit (inline, running-winner record) --------
+    if ext is None:
+        best_t = jnp.full_like(time, INF)
+        # winner record fields, updated whenever a candidate is better
+        w_n = V3(jnp.ones_like(time), jnp.zeros_like(time),
+                 jnp.zeros_like(time))
+        w_mat = jnp.zeros_like(inside)
+    else:
+        ext_t, ext_nx, ext_ny, ext_nz, ext_mat = ext
+        best_t = ext_t
+        w_n = V3(ext_nx, ext_ny, ext_nz)
+        w_mat = ext_mat.astype(jnp.int32)
 
-            # --- spheres (sphere.cpp:13-46) --- tie rule: sphere first, so '<'
-            for si in range(S):
-                c0 = V3(sph_ref[3 * si], sph_ref[3 * si + 1], sph_ref[3 * si + 2])
+    # --- spheres (sphere.cpp:13-46) --- tie rule: sphere first, so '<'
+    for si in range(S):
+        c0 = V3(sph_ref[3 * si], sph_ref[3 * si + 1], sph_ref[3 * si + 2])
+        o1 = 3 * S
+        c1 = V3(sph_ref[o1 + 3 * si], sph_ref[o1 + 3 * si + 1],
+                sph_ref[o1 + 3 * si + 2])
+        o = 6 * S
+        t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
+        mov, rad = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
+        matid, act = sph_ref[o + 4 * S + si], sph_ref[o + 5 * S + si]
+        denom = jnp.where(mov > 0, t1s - t0s, 1.0)
+        fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
+        cen = V3(c0.x + fmv * (c1.x - c0.x), c0.y + fmv * (c1.y - c0.y),
+                 c0.z + fmv * (c1.z - c0.z))
+        oc = ro - cen
+        b = _dot(oc, rd)
+        c = _dot(oc, oc) - rad * rad
+        disc = b * b - c
+        sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+        t_front = -b - sqd
+        t_back = -b + sqd
+        ok = (disc > 0) & (act > 0)
+        front_ok = ok & (t_front > TMIN) & (t_front < best_t)
+        back_ok = ok & (inside > 0) & (t_back > TMIN) & (t_back < best_t)
+        tc = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
+        better = front_ok | back_ok
+        # guard the miss lanes' INF before the multiply: ro + rd*INF is
+        # Inf/NaN (0*INF), and although _vwhere masks the primal, the
+        # pullback of _normalize over a NaN primal is NaN even under a
+        # zero cotangent — it then reaches d_ro/d_rd through p_hit and
+        # poisons every differentiable-table gradient in the fused AD
+        # path (caught by tests/test_bounce_ad.py on _sphere_light_scene)
+        tc_safe = jnp.where(better, tc, 1.0)
+        p_hit = ro + rd * tc_safe
+        safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
+        # *(1/rad) with the reciprocal hoisted to a SCALAR divide
+        # (rad is an SMEM table entry); sphere_record uses the SAME
+        # expression so kernel and XLA wavefront stay bit-identical —
+        # a last-ulp normal difference seeds chaotic path divergence
+        # that can flip a discrete decision several bounces later
+        n_c = _normalize((p_hit - cen) * (1.0 / safe_rad))
+        best_t = jnp.where(better, tc, best_t)
+        w_n = _vwhere(better, n_c, w_n)
+        w_mat = jnp.where(better, jnp.int32(matid), w_mat)
+
+    # --- rects (rect.cpp, one-sided) ---
+    for ri in range(R):
+        ei = V3(rect_ref[3 * ri], rect_ref[3 * ri + 1], rect_ref[3 * ri + 2])
+        o = 3 * R
+        ej = V3(rect_ref[o + 3 * ri], rect_ref[o + 3 * ri + 1],
+                rect_ref[o + 3 * ri + 2])
+        o = 6 * R
+        ek = V3(rect_ref[o + 3 * ri], rect_ref[o + 3 * ri + 1],
+                rect_ref[o + 3 * ri + 2])
+        o = 9 * R
+        kk = rect_ref[o + ri]
+        i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
+        j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
+        sgn = rect_ref[o + 5 * R + ri]
+        matid = rect_ref[o + 6 * R + ri]
+        act = rect_ref[o + 7 * R + ri]
+        dk = _dot(ek, rd)
+        facing = dk * sgn <= 0.0
+        dk_safe = jnp.where(jnp.abs(dk) > 1e-30, dk, 1e-30)
+        t = (kk - _dot(ek, ro)) / dk_safe
+        iiv = _dot(ei, ro) + t * _dot(ei, rd)
+        jjv = _dot(ej, ro) + t * _dot(ej, rd)
+        valid = (
+            facing & (t >= TMIN) & (t < best_t) & (act > 0)
+            & (iiv >= i0) & (iiv <= i1) & (jjv >= j0) & (jjv <= j1)
+        )
+        best_t = jnp.where(valid, t, best_t)
+        w_n = _vwhere(valid, V3(ek.x * sgn + 0.0 * time,
+                                ek.y * sgn + 0.0 * time,
+                                ek.z * sgn + 0.0 * time), w_n)
+        w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+
+    # --- triangles (triangle.cpp:221-264) ---
+    for ti in range(Tc):
+        mT = V3(tri_ref[3 * ti], tri_ref[3 * ti + 1], tri_ref[3 * ti + 2])
+        o = 3 * Tc
+        uT = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                tri_ref[o + 3 * ti + 2])
+        o = 6 * Tc
+        vT = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                tri_ref[o + 3 * ti + 2])
+        o = 9 * Tc
+        mn = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                tri_ref[o + 3 * ti + 2])
+        o = 12 * Tc
+        un = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                tri_ref[o + 3 * ti + 2])
+        o = 15 * Tc
+        vn = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
+                tri_ref[o + 3 * ti + 2])
+        matid = tri_ref[18 * Tc + ti]
+        act = tri_ref[19 * Tc + ti]
+        pv = _cross(rd, vT)
+        det = _dot(uT, pv)
+        sgn = jnp.where((inside > 0) & (det < 0.0), -1.0, 1.0)
+        dets = det * sgn
+        tv = ro - mT
+        uu = _dot(tv, pv) * sgn
+        qv = _cross(tv, uT)
+        vv = _dot(rd, qv) * sgn
+        safe_det = jnp.where(dets > TRI_EPS, dets, 1.0)
+        t = _dot(vT, qv) / safe_det * sgn
+        valid = (
+            (dets >= TRI_EPS) & (uu >= 0) & (uu <= dets)
+            & (vv >= 0) & (uu + vv <= dets)
+            & (t >= TMIN) & (t < best_t) & (act > 0)
+        )
+        inv = 1.0 / safe_det
+        uun = uu * inv
+        vvn = vv * inv
+        n_c = _normalize(
+            mn * (1.0 - uun - vvn) + un * uun + vn * vvn
+        )
+        best_t = jnp.where(valid, t, best_t)
+        w_n = _vwhere(valid, n_c, w_n)
+        w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+
+    # --- boxes (box.h: 6 outward one-sided rects as ONE prim; the
+    # rotate_y/translate wrappers baked as sin/cos/offset — hit =
+    # nearest front-facing face, rays inside see nothing) ---
+    for bi in range(Bx):
+        blo = (box_ref[3 * bi], box_ref[3 * bi + 1], box_ref[3 * bi + 2])
+        o = 3 * Bx
+        bhi = (box_ref[o + 3 * bi], box_ref[o + 3 * bi + 1],
+               box_ref[o + 3 * bi + 2])
+        o = 6 * Bx
+        sinb, cosb = box_ref[o + 2 * bi], box_ref[o + 2 * bi + 1]
+        o = 8 * Bx
+        offb = V3(box_ref[o + 3 * bi] + 0.0 * time,
+                  box_ref[o + 3 * bi + 1] + 0.0 * time,
+                  box_ref[o + 3 * bi + 2] + 0.0 * time)
+        matid = box_ref[11 * Bx + bi]
+        act = box_ref[12 * Bx + bi]
+        rol = ro - offb
+        lo = V3(cosb * rol.x - sinb * rol.z, rol.y,
+                cosb * rol.z + sinb * rol.x)
+        ld = V3(cosb * rd.x - sinb * rd.z, rd.y,
+                cosb * rd.z + sinb * rd.x)
+        bl = (lo.x, lo.y, lo.z)
+        bd = (ld.x, ld.y, ld.z)
+        tb = jnp.full_like(time, INF)
+        nax = jnp.zeros_like(time)   # winner axis id
+        nsg = jnp.zeros_like(time)   # winner face sign
+        for a, bb_, cc_ in ((0, 1, 2), (1, 0, 2), (2, 0, 1)):
+            da = bd[a]
+            invd = 1.0 / jnp.where(
+                jnp.abs(da) > 1e-12, da,
+                jnp.where(da >= 0, 1e-12, -1e-12))
+            for bound, face_ok, sg in ((blo[a], da > 0, -1.0),
+                                       (bhi[a], da < 0, 1.0)):
+                tf = (bound - bl[a]) * invd
+                pb = bl[bb_] + tf * bd[bb_]
+                pc = bl[cc_] + tf * bd[cc_]
+                okf = (face_ok & (tf >= TMIN) & (tf < tb)
+                       & (pb >= blo[bb_]) & (pb <= bhi[bb_])
+                       & (pc >= blo[cc_]) & (pc <= bhi[cc_]))
+                tb = jnp.where(okf, tf, tb)
+                nax = jnp.where(okf, float(a), nax)
+                nsg = jnp.where(okf, sg, nsg)
+        valid = (tb < best_t) & (act > 0)
+        nlx = jnp.where(nax == 0.0, nsg, 0.0)
+        nly = jnp.where(nax == 1.0, nsg, 0.0)
+        nlz = jnp.where(nax == 2.0, nsg, 0.0)
+        n_c = V3(cosb * nlx + sinb * nlz, nly,
+                 cosb * nlz - sinb * nlx)
+        best_t = jnp.where(valid, tb, best_t)
+        w_n = _vwhere(valid, n_c, w_n)
+        w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+
+    # --- volumes (volumes.cpp:5-36, one-sided quirks preserved) ---
+    t_surf = best_t
+    for vi in range(V):
+        bp = [vol_ref[12 * vi + k] for k in range(12)]
+        btype = vol_ref[12 * V + vi]
+        dens = vol_ref[13 * V + vi]
+        vmat = vol_ref[14 * V + vi]
+        vact = vol_ref[15 * V + vi]
+        # sphere boundary
+        cen = V3(bp[0] + 0.0 * time, bp[1] + 0.0 * time, bp[2] + 0.0 * time)
+        radv = bp[3]
+        oc = ro - cen
+        b = _dot(oc, rd)
+        c = _dot(oc, oc) - radv * radv
+        disc = b * b - c
+        sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
+        s_ok = disc > 0
+        sph_t1 = jnp.where(s_ok, -b - sqd, INF)
+        sph_t2 = jnp.where(s_ok & (inside > 0), -b + sqd, INF)
+        # box boundary: 6 one-sided faces in local frame
+        bmin = (bp[0], bp[1], bp[2])
+        bmax = (bp[3], bp[4], bp[5])
+        sin_t, cos_t = bp[6], bp[7]
+        off = V3(bp[8] + 0.0 * time, bp[9] + 0.0 * time, bp[10] + 0.0 * time)
+        rol = ro - off
+        lo = V3(cos_t * rol.x - sin_t * rol.z, rol.y,
+                cos_t * rol.z + sin_t * rol.x)
+        ld = V3(cos_t * rd.x - sin_t * rd.z, rd.y,
+                cos_t * rd.z + sin_t * rd.x)
+        cands = [sph_t1, sph_t2]
+        axes = [
+            (lo.x, ld.x, lo.y, ld.y, lo.z, ld.z,
+             bmin[0], bmax[0], bmin[1], bmax[1], bmin[2], bmax[2]),
+            (lo.y, ld.y, lo.x, ld.x, lo.z, ld.z,
+             bmin[1], bmax[1], bmin[0], bmax[0], bmin[2], bmax[2]),
+            (lo.z, ld.z, lo.x, ld.x, lo.y, ld.y,
+             bmin[2], bmax[2], bmin[0], bmax[0], bmin[1], bmax[1]),
+        ]
+        box_cands = []
+        for (la, da, lb, db, lc, dc, a0, a1, b0, b1, c0b, c1b) in axes:
+            invd = 1.0 / jnp.where(
+                jnp.abs(da) > 1e-12, da, jnp.where(da >= 0, 1e-12, -1e-12)
+            )
+            for bound, face_ok in ((a0, da > 0), (a1, da < 0)):
+                tf = (bound - la) * invd
+                bb = lb + tf * db
+                cc = lc + tf * dc
+                okf = face_ok & (bb >= b0) & (bb <= b1) & (cc >= c0b) & (cc <= c1b)
+                box_cands.append(jnp.where(okf, tf, INF))
+        is_sph_b = btype == float(T.VOLB_SPHERE)
+        all_cands = [
+            jnp.where(is_sph_b, cands[0], box_cands[0]),
+            jnp.where(is_sph_b, cands[1], box_cands[1]),
+            jnp.where(is_sph_b, INF, box_cands[2]),
+            jnp.where(is_sph_b, INF, box_cands[3]),
+            jnp.where(is_sph_b, INF, box_cands[4]),
+            jnp.where(is_sph_b, INF, box_cands[5]),
+        ]
+        rec1 = all_cands[0]
+        for ccd in all_cands[1:]:
+            rec1 = jnp.minimum(rec1, ccd)
+        got1 = rec1 < INF
+        rec2 = jnp.full_like(rec1, INF)
+        for ccd in all_cands:
+            rec2 = jnp.minimum(rec2, jnp.where(ccd > rec1 + 1e-4, ccd, INF))
+        got2 = rec2 < INF
+        okv = got1 & got2
+        NEG = jnp.float32(-3.0e38)
+        rec1c = jnp.maximum(jnp.where(got1, rec1, NEG), TMIN)
+        rec2c = jnp.minimum(jnp.where(got2, rec2, NEG), best_t)
+        valid = okv & (rec1c < rec2c) & (vact > 0)
+        inside_dist = rec2c - rec1c
+        uv = jnp.clip(_uniform(keys_b, SLOT_VOL + vi), 1e-38, 1.0)
+        hit_dist = -(1.0 / dens) * jnp.log(uv)
+        scatter = valid & (hit_dist < inside_dist)
+        tvol = rec1c + hit_dist
+        better = scatter & (tvol < best_t)
+        best_t = jnp.where(better, tvol, best_t)
+        w_n = _vwhere(better, V3(jnp.ones_like(tvol), jnp.zeros_like(tvol),
+                                 jnp.zeros_like(tvol)), w_n)
+        w_mat = jnp.where(better, jnp.int32(vmat), w_mat)
+
+    hit = best_t < INF
+    safe_t = jnp.where(hit, best_t, 1.0)
+    p = ro + rd * safe_t
+    # miss-lane record sanitation (scene_hit does the same)
+    w_n = _vwhere(hit, w_n, V3(jnp.ones_like(safe_t), jnp.zeros_like(safe_t),
+                               jnp.zeros_like(safe_t)))
+
+    # ---------------- shade (materials.shade, exact slots) -------------
+    # material row lookup (static where-chain over M)
+    mtype = jnp.zeros_like(safe_t)
+    mparam = jnp.zeros_like(safe_t)
+    tex_id = jnp.zeros_like(safe_t)
+    for mi in range(M):
+        selm = w_mat == mi
+        mtype = jnp.where(selm, mat_ref[mi], mtype)
+        mparam = jnp.where(selm, mat_ref[M + mi], mparam)
+        tex_id = jnp.where(selm, mat_ref[2 * M + mi], tex_id)
+
+    # texture sample (const/checker)
+    c0 = V3(jnp.zeros_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
+    c1 = V3(jnp.zeros_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
+    ttype = jnp.zeros_like(safe_t)
+    tscale = jnp.zeros_like(safe_t)
+    for xi in range(X):
+        selx = tex_id == xi
+        ttype = jnp.where(selx, tex_ref[xi], ttype)
+        c0 = _vwhere(selx, V3(tex_ref[X + 3 * xi] + 0.0 * safe_t,
+                              tex_ref[X + 3 * xi + 1] + 0.0 * safe_t,
+                              tex_ref[X + 3 * xi + 2] + 0.0 * safe_t), c0)
+        c1 = _vwhere(selx, V3(tex_ref[4 * X + 3 * xi] + 0.0 * safe_t,
+                              tex_ref[4 * X + 3 * xi + 1] + 0.0 * safe_t,
+                              tex_ref[4 * X + 3 * xi + 2] + 0.0 * safe_t), c1)
+        tscale = jnp.where(selx, tex_ref[7 * X + xi], tscale)
+    sines = (jnp.sin(tscale * p.x) * jnp.sin(tscale * p.y)
+             * jnp.sin(tscale * p.z))
+    albedo = _vwhere((ttype == float(T.TEX_CHECKER)) & (sines < 0), c1, c0)
+    if perlin:
+        turb = _turbulence(
+            ptab, V3(p.x * tscale, p.y * tscale, p.z * tscale))
+        albedo = _vwhere(ttype == float(T.TEX_PERLIN),
+                         V3(turb, turb, turb), albedo)
+    img_id = None
+    if meta["image"]:
+        # image texel fetched OUTSIDE the kernel (the table is far
+        # beyond the lane-gather width): shade with albedo 1, report
+        # the winner's image id; the caller multiplies the texel
+        # into beta (albedo enters the weight multiplicatively, and
+        # image materials never emit in the supported scene set)
+        iid = jnp.zeros_like(safe_t)
+        for xi in range(X):
+            iid = jnp.where(tex_id == xi, tex_ref[8 * X + xi], iid)
+        # only materials that CONSUME albedo defer a texel: a
+        # dielectric/light lane whose tex_id merely DEFAULTS to an
+        # image texture (e.g. book2: mat 0 = earth, so glass lanes
+        # land on tex 0) must not get a spurious texel multiplied
+        # into its throughput (dielectric weight is 1 regardless,
+        # material.h:158-173; lights emit, never scatter)
+        uses_albedo = ((mtype != float(T.MAT_DIELECTRIC))
+                       & (mtype != float(T.MAT_DIFFUSE_LIGHT)))
+        is_img = (ttype == float(T.TEX_IMAGE)) & uses_albedo
+        img_id = jnp.where(is_img, iid, -1.0)
+        ones_alb = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
+                      jnp.ones_like(safe_t))
+        albedo = _vwhere(is_img, ones_alb, albedo)
+
+    nrm = w_n
+    is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)
+    emitted = _vwhere(is_light & (_dot(nrm, rd) < 0.0), albedo * mparam,
+                      V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t))
+
+    is_iso = mtype == float(T.MAT_ISOTROPIC)
+    u_ma = _uniform(keys_b, SLOT_MA)
+    u_mb = _uniform(keys_b, SLOT_MB)
+    uo, vo, wo = _onb_from_w(nrm)
+    loc = _sample_cosine(u_ma, u_mb, exact_cos)
+    cos_dir = uo * loc.x + vo * loc.y + wo * loc.z
+    iso_dir = _sample_on_sphere(u_ma, u_mb)
+    mat_gen = _vwhere(is_iso, iso_dir, cos_dir)
+
+    if lights:
+        u_mix = _uniform(keys_b, SLOT_MIX)
+        u_pick = _uniform(keys_b, SLOT_LPICK)
+        u_a = _uniform(keys_b, SLOT_LA)
+        u_b = _uniform(keys_b, SLOT_LB)
+        pick = jnp.clip((u_pick * nL).astype(jnp.int32), 0, nL - 1)
+        lgen = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
+        for li, (ltype, lidx) in enumerate(lights):
+            if ltype == T.PRIM_SPHERE:
+                si = lidx
+                c0l = V3(sph_ref[3 * si] + 0.0 * safe_t,
+                         sph_ref[3 * si + 1] + 0.0 * safe_t,
+                         sph_ref[3 * si + 2] + 0.0 * safe_t)
                 o1 = 3 * S
-                c1 = V3(sph_ref[o1 + 3 * si], sph_ref[o1 + 3 * si + 1],
-                        sph_ref[o1 + 3 * si + 2])
+                c1l = V3(sph_ref[o1 + 3 * si] + 0.0 * safe_t,
+                         sph_ref[o1 + 3 * si + 1] + 0.0 * safe_t,
+                         sph_ref[o1 + 3 * si + 2] + 0.0 * safe_t)
                 o = 6 * S
                 t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
-                mov, rad = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
-                matid, act = sph_ref[o + 4 * S + si], sph_ref[o + 5 * S + si]
+                mov, radl = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
                 denom = jnp.where(mov > 0, t1s - t0s, 1.0)
                 fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
-                cen = V3(c0.x + fmv * (c1.x - c0.x), c0.y + fmv * (c1.y - c0.y),
-                         c0.z + fmv * (c1.z - c0.z))
-                oc = ro - cen
-                b = _dot(oc, rd)
-                c = _dot(oc, oc) - rad * rad
+                cenl = c0l + (c1l - c0l) * fmv
+                to_c = cenl - p
+                dist_sq = _dot(to_c, to_c)
+                ul, vl, wl = _onb_from_w(_normalize(to_c))
+                frac = jnp.clip(
+                    1.0 - radl * radl / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
+                f_ok = frac > 1e-12
+                sqf = jnp.where(f_ok, jnp.sqrt(jnp.where(f_ok, frac, 1.0)), 0.0)
+                z = 1.0 + u_b * (sqf - 1.0)
+                phi = 2.0 * PI * u_a
+                z2 = z * z
+                z_ok = z2 < 1.0 - 1e-12
+                sl = jnp.where(z_ok, jnp.sqrt(jnp.where(z_ok, 1.0 - z2, 1.0)), 0.0)
+                locl = V3(jnp.cos(phi) * sl, jnp.sin(phi) * sl, z)
+                dgen = ul * locl.x + vl * locl.y + wl * locl.z
+            else:
+                ri = lidx
+                ei = V3(rect_ref[3 * ri] + 0.0 * safe_t,
+                        rect_ref[3 * ri + 1] + 0.0 * safe_t,
+                        rect_ref[3 * ri + 2] + 0.0 * safe_t)
+                o = 3 * R
+                ej = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                        rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                        rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
+                o = 6 * R
+                ekl = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                         rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                         rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
+                o = 9 * R
+                kk = rect_ref[o + ri]
+                i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
+                j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
+                iil = i0 + u_a * (i1 - i0)
+                jjl = j0 + u_b * (j1 - j0)
+                point = ei * iil + ej * jjl + ekl * kk
+                dgen = point - p
+            lgen = _vwhere(pick == li, dgen, lgen)
+        gen = _vwhere(u_mix < 0.5, lgen, mat_gen)
+        d = _normalize(gen)
+        # light pdf value: average over lights
+        lpv = 0.0 * safe_t
+        for (ltype, lidx) in lights:
+            if ltype == T.PRIM_SPHERE:
+                si = lidx
+                c0l = V3(sph_ref[3 * si] + 0.0 * safe_t,
+                         sph_ref[3 * si + 1] + 0.0 * safe_t,
+                         sph_ref[3 * si + 2] + 0.0 * safe_t)
+                o1 = 3 * S
+                c1l = V3(sph_ref[o1 + 3 * si] + 0.0 * safe_t,
+                         sph_ref[o1 + 3 * si + 1] + 0.0 * safe_t,
+                         sph_ref[o1 + 3 * si + 2] + 0.0 * safe_t)
+                o = 6 * S
+                t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
+                mov, radl = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
+                denom = jnp.where(mov > 0, t1s - t0s, 1.0)
+                fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
+                cenl = c0l + (c1l - c0l) * fmv
+                oc = p - cenl
+                b = _dot(oc, d)
+                c = _dot(oc, oc) - radl * radl
                 disc = b * b - c
                 sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
                 t_front = -b - sqd
-                t_back = -b + sqd
-                ok = (disc > 0) & (act > 0)
-                front_ok = ok & (t_front > TMIN) & (t_front < best_t)
-                back_ok = ok & (inside > 0) & (t_back > TMIN) & (t_back < best_t)
-                tc = jnp.where(front_ok, t_front, jnp.where(back_ok, t_back, INF))
-                better = front_ok | back_ok
-                # guard the miss lanes' INF before the multiply: ro + rd*INF is
-                # Inf/NaN (0*INF), and although _vwhere masks the primal, the
-                # pullback of _normalize over a NaN primal is NaN even under a
-                # zero cotangent — it then reaches d_ro/d_rd through p_hit and
-                # poisons every differentiable-table gradient in the fused AD
-                # path (caught by tests/test_bounce_ad.py on _sphere_light_scene)
-                tc_safe = jnp.where(better, tc, 1.0)
-                p_hit = ro + rd * tc_safe
-                safe_rad = jnp.where(jnp.abs(rad) > 1e-20, rad, 1.0)
-                # *(1/rad) with the reciprocal hoisted to a SCALAR divide
-                # (rad is an SMEM table entry); sphere_record uses the SAME
-                # expression so kernel and XLA wavefront stay bit-identical —
-                # a last-ulp normal difference seeds chaotic path divergence
-                # that can flip a discrete decision several bounces later
-                n_c = _normalize((p_hit - cen) * (1.0 / safe_rad))
-                best_t = jnp.where(better, tc, best_t)
-                w_n = _vwhere(better, n_c, w_n)
-                w_mat = jnp.where(better, jnp.int32(matid), w_mat)
-
-            # --- rects (rect.cpp, one-sided) ---
-            for ri in range(R):
-                ei = V3(rect_ref[3 * ri], rect_ref[3 * ri + 1], rect_ref[3 * ri + 2])
+                hitl = (disc > 0) & (t_front > TMIN)
+                to_c = cenl - p
+                dist_sq = _dot(to_c, to_c)
+                cm_arg = jnp.clip(
+                    1.0 - radl * radl / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
+                cm_ok = cm_arg > 1e-12
+                cos_max = jnp.where(
+                    cm_ok, jnp.sqrt(jnp.where(cm_ok, cm_arg, 1.0)), 0.0)
+                sa = 2.0 * PI * (1.0 - cos_max)
+                lpv = lpv + jnp.where(
+                    hitl & (sa > 0), 1.0 / jnp.maximum(sa, 1e-12), 0.0)
+            else:
+                ri = lidx
+                ei = V3(rect_ref[3 * ri] + 0.0 * safe_t,
+                        rect_ref[3 * ri + 1] + 0.0 * safe_t,
+                        rect_ref[3 * ri + 2] + 0.0 * safe_t)
                 o = 3 * R
-                ej = V3(rect_ref[o + 3 * ri], rect_ref[o + 3 * ri + 1],
-                        rect_ref[o + 3 * ri + 2])
+                ej = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                        rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                        rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
                 o = 6 * R
-                ek = V3(rect_ref[o + 3 * ri], rect_ref[o + 3 * ri + 1],
-                        rect_ref[o + 3 * ri + 2])
+                ekl = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
+                         rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
+                         rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
                 o = 9 * R
                 kk = rect_ref[o + ri]
                 i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
                 j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
                 sgn = rect_ref[o + 5 * R + ri]
-                matid = rect_ref[o + 6 * R + ri]
-                act = rect_ref[o + 7 * R + ri]
-                dk = _dot(ek, rd)
+                dk = _dot(ekl, d)
                 facing = dk * sgn <= 0.0
                 dk_safe = jnp.where(jnp.abs(dk) > 1e-30, dk, 1e-30)
-                t = (kk - _dot(ek, ro)) / dk_safe
-                iiv = _dot(ei, ro) + t * _dot(ei, rd)
-                jjv = _dot(ej, ro) + t * _dot(ej, rd)
-                valid = (
-                    facing & (t >= TMIN) & (t < best_t) & (act > 0)
-                    & (iiv >= i0) & (iiv <= i1) & (jjv >= j0) & (jjv <= j1)
-                )
-                best_t = jnp.where(valid, t, best_t)
-                w_n = _vwhere(valid, V3(ek.x * sgn + 0.0 * time,
-                                        ek.y * sgn + 0.0 * time,
-                                        ek.z * sgn + 0.0 * time), w_n)
-                w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+                t = (kk - _dot(ekl, p)) / dk_safe
+                iiv = _dot(ei, p) + t * _dot(ei, d)
+                jjv = _dot(ej, p) + t * _dot(ej, d)
+                hitl = (facing & (t >= TMIN)
+                        & (iiv >= i0) & (iiv <= i1) & (jjv >= j0) & (jjv <= j1))
+                ts = jnp.where(hitl, t, 1.0)
+                area = (i1 - i0) * (j1 - j0)
+                cosine = jnp.abs(_dot(d, ekl) * sgn)
+                val = ts * ts / jnp.maximum(cosine * area, 1e-12)
+                lpv = lpv + jnp.where(hitl, val, 0.0)
+        lpv = lpv / nL
+        mat_pdf_v = jnp.where(
+            is_iso, 1.0 / (2.0 * PI),
+            jnp.where(_dot(nrm, d) > 0, _dot(nrm, d) / PI, 0.0))
+        pdf_v = 0.5 * lpv + 0.5 * mat_pdf_v
+    else:
+        d = _normalize(mat_gen)
+        pdf_v = jnp.where(
+            is_iso, 1.0 / (2.0 * PI),
+            jnp.where(_dot(nrm, d) > 0, _dot(nrm, d) / PI, 0.0))
 
-            # --- triangles (triangle.cpp:221-264) ---
-            for ti in range(Tc):
-                mT = V3(tri_ref[3 * ti], tri_ref[3 * ti + 1], tri_ref[3 * ti + 2])
-                o = 3 * Tc
-                uT = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
-                        tri_ref[o + 3 * ti + 2])
-                o = 6 * Tc
-                vT = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
-                        tri_ref[o + 3 * ti + 2])
-                o = 9 * Tc
-                mn = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
-                        tri_ref[o + 3 * ti + 2])
-                o = 12 * Tc
-                un = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
-                        tri_ref[o + 3 * ti + 2])
-                o = 15 * Tc
-                vn = V3(tri_ref[o + 3 * ti], tri_ref[o + 3 * ti + 1],
-                        tri_ref[o + 3 * ti + 2])
-                matid = tri_ref[18 * Tc + ti]
-                act = tri_ref[19 * Tc + ti]
-                pv = _cross(rd, vT)
-                det = _dot(uT, pv)
-                sgn = jnp.where((inside > 0) & (det < 0.0), -1.0, 1.0)
-                dets = det * sgn
-                tv = ro - mT
-                uu = _dot(tv, pv) * sgn
-                qv = _cross(tv, uT)
-                vv = _dot(rd, qv) * sgn
-                safe_det = jnp.where(dets > TRI_EPS, dets, 1.0)
-                t = _dot(vT, qv) / safe_det * sgn
-                valid = (
-                    (dets >= TRI_EPS) & (uu >= 0) & (uu <= dets)
-                    & (vv >= 0) & (uu + vv <= dets)
-                    & (t >= TMIN) & (t < best_t) & (act > 0)
-                )
-                inv = 1.0 / safe_det
-                uun = uu * inv
-                vvn = vv * inv
-                n_c = _normalize(
-                    mn * (1.0 - uun - vvn) + un * uun + vn * vvn
-                )
-                best_t = jnp.where(valid, t, best_t)
-                w_n = _vwhere(valid, n_c, w_n)
-                w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+    scatter_pdf = jnp.where(
+        is_iso, 1.0 / (2.0 * PI), jnp.maximum(_dot(nrm, d), 0.0) / PI)
+    pdf_ok = pdf_v > 1e-12
+    safe_pdf = jnp.where(pdf_ok, pdf_v, 1.0)
+    diffuse_w = albedo * jnp.where(pdf_ok, scatter_pdf / safe_pdf, 0.0)
 
-            # --- boxes (box.h: 6 outward one-sided rects as ONE prim; the
-            # rotate_y/translate wrappers baked as sin/cos/offset — hit =
-            # nearest front-facing face, rays inside see nothing) ---
-            for bi in range(Bx):
-                blo = (box_ref[3 * bi], box_ref[3 * bi + 1], box_ref[3 * bi + 2])
-                o = 3 * Bx
-                bhi = (box_ref[o + 3 * bi], box_ref[o + 3 * bi + 1],
-                       box_ref[o + 3 * bi + 2])
-                o = 6 * Bx
-                sinb, cosb = box_ref[o + 2 * bi], box_ref[o + 2 * bi + 1]
-                o = 8 * Bx
-                offb = V3(box_ref[o + 3 * bi] + 0.0 * time,
-                          box_ref[o + 3 * bi + 1] + 0.0 * time,
-                          box_ref[o + 3 * bi + 2] + 0.0 * time)
-                matid = box_ref[11 * Bx + bi]
-                act = box_ref[12 * Bx + bi]
-                rol = ro - offb
-                lo = V3(cosb * rol.x - sinb * rol.z, rol.y,
-                        cosb * rol.z + sinb * rol.x)
-                ld = V3(cosb * rd.x - sinb * rd.z, rd.y,
-                        cosb * rd.z + sinb * rd.x)
-                bl = (lo.x, lo.y, lo.z)
-                bd = (ld.x, ld.y, ld.z)
-                tb = jnp.full_like(time, INF)
-                nax = jnp.zeros_like(time)   # winner axis id
-                nsg = jnp.zeros_like(time)   # winner face sign
-                for a, bb_, cc_ in ((0, 1, 2), (1, 0, 2), (2, 0, 1)):
-                    da = bd[a]
-                    invd = 1.0 / jnp.where(
-                        jnp.abs(da) > 1e-12, da,
-                        jnp.where(da >= 0, 1e-12, -1e-12))
-                    for bound, face_ok, sg in ((blo[a], da > 0, -1.0),
-                                               (bhi[a], da < 0, 1.0)):
-                        tf = (bound - bl[a]) * invd
-                        pb = bl[bb_] + tf * bd[bb_]
-                        pc = bl[cc_] + tf * bd[cc_]
-                        okf = (face_ok & (tf >= TMIN) & (tf < tb)
-                               & (pb >= blo[bb_]) & (pb <= bhi[bb_])
-                               & (pc >= blo[cc_]) & (pc <= bhi[cc_]))
-                        tb = jnp.where(okf, tf, tb)
-                        nax = jnp.where(okf, float(a), nax)
-                        nsg = jnp.where(okf, sg, nsg)
-                valid = (tb < best_t) & (act > 0)
-                nlx = jnp.where(nax == 0.0, nsg, 0.0)
-                nly = jnp.where(nax == 1.0, nsg, 0.0)
-                nlz = jnp.where(nax == 2.0, nsg, 0.0)
-                n_c = V3(cosb * nlx + sinb * nlz, nly,
-                         cosb * nlz - sinb * nlx)
-                best_t = jnp.where(valid, tb, best_t)
-                w_n = _vwhere(valid, n_c, w_n)
-                w_mat = jnp.where(valid, jnp.int32(matid), w_mat)
+    # metal
+    is_metal = mtype == float(T.MAT_METAL)
+    refl = rd - nrm * (2.0 * _dot(rd, nrm))
+    fuzz = _sample_in_ball(
+        _uniform(keys_b, SLOT_FUZZ), _uniform(keys_b, SLOT_FUZZ + 1),
+        _uniform(keys_b, SLOT_FUZZ + 2))
+    metal_dir = _normalize(refl + fuzz * (1.0 - mparam))
 
-            # --- volumes (volumes.cpp:5-36, one-sided quirks preserved) ---
-            t_surf = best_t
-            for vi in range(V):
-                bp = [vol_ref[12 * vi + k] for k in range(12)]
-                btype = vol_ref[12 * V + vi]
-                dens = vol_ref[13 * V + vi]
-                vmat = vol_ref[14 * V + vi]
-                vact = vol_ref[15 * V + vi]
-                # sphere boundary
-                cen = V3(bp[0] + 0.0 * time, bp[1] + 0.0 * time, bp[2] + 0.0 * time)
-                radv = bp[3]
-                oc = ro - cen
-                b = _dot(oc, rd)
-                c = _dot(oc, oc) - radv * radv
-                disc = b * b - c
-                sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
-                s_ok = disc > 0
-                sph_t1 = jnp.where(s_ok, -b - sqd, INF)
-                sph_t2 = jnp.where(s_ok & (inside > 0), -b + sqd, INF)
-                # box boundary: 6 one-sided faces in local frame
-                bmin = (bp[0], bp[1], bp[2])
-                bmax = (bp[3], bp[4], bp[5])
-                sin_t, cos_t = bp[6], bp[7]
-                off = V3(bp[8] + 0.0 * time, bp[9] + 0.0 * time, bp[10] + 0.0 * time)
-                rol = ro - off
-                lo = V3(cos_t * rol.x - sin_t * rol.z, rol.y,
-                        cos_t * rol.z + sin_t * rol.x)
-                ld = V3(cos_t * rd.x - sin_t * rd.z, rd.y,
-                        cos_t * rd.z + sin_t * rd.x)
-                cands = [sph_t1, sph_t2]
-                axes = [
-                    (lo.x, ld.x, lo.y, ld.y, lo.z, ld.z,
-                     bmin[0], bmax[0], bmin[1], bmax[1], bmin[2], bmax[2]),
-                    (lo.y, ld.y, lo.x, ld.x, lo.z, ld.z,
-                     bmin[1], bmax[1], bmin[0], bmax[0], bmin[2], bmax[2]),
-                    (lo.z, ld.z, lo.x, ld.x, lo.y, ld.y,
-                     bmin[2], bmax[2], bmin[0], bmax[0], bmin[1], bmax[1]),
-                ]
-                box_cands = []
-                for (la, da, lb, db, lc, dc, a0, a1, b0, b1, c0b, c1b) in axes:
-                    invd = 1.0 / jnp.where(
-                        jnp.abs(da) > 1e-12, da, jnp.where(da >= 0, 1e-12, -1e-12)
-                    )
-                    for bound, face_ok in ((a0, da > 0), (a1, da < 0)):
-                        tf = (bound - la) * invd
-                        bb = lb + tf * db
-                        cc = lc + tf * dc
-                        okf = face_ok & (bb >= b0) & (bb <= b1) & (cc >= c0b) & (cc <= c1b)
-                        box_cands.append(jnp.where(okf, tf, INF))
-                is_sph_b = btype == float(T.VOLB_SPHERE)
-                all_cands = [
-                    jnp.where(is_sph_b, cands[0], box_cands[0]),
-                    jnp.where(is_sph_b, cands[1], box_cands[1]),
-                    jnp.where(is_sph_b, INF, box_cands[2]),
-                    jnp.where(is_sph_b, INF, box_cands[3]),
-                    jnp.where(is_sph_b, INF, box_cands[4]),
-                    jnp.where(is_sph_b, INF, box_cands[5]),
-                ]
-                rec1 = all_cands[0]
-                for ccd in all_cands[1:]:
-                    rec1 = jnp.minimum(rec1, ccd)
-                got1 = rec1 < INF
-                rec2 = jnp.full_like(rec1, INF)
-                for ccd in all_cands:
-                    rec2 = jnp.minimum(rec2, jnp.where(ccd > rec1 + 1e-4, ccd, INF))
-                got2 = rec2 < INF
-                okv = got1 & got2
-                NEG = jnp.float32(-3.0e38)
-                rec1c = jnp.maximum(jnp.where(got1, rec1, NEG), TMIN)
-                rec2c = jnp.minimum(jnp.where(got2, rec2, NEG), best_t)
-                valid = okv & (rec1c < rec2c) & (vact > 0)
-                inside_dist = rec2c - rec1c
-                uv = jnp.clip(_uniform(keys_b, SLOT_VOL + vi), 1e-38, 1.0)
-                hit_dist = -(1.0 / dens) * jnp.log(uv)
-                scatter = valid & (hit_dist < inside_dist)
-                tvol = rec1c + hit_dist
-                better = scatter & (tvol < best_t)
-                best_t = jnp.where(better, tvol, best_t)
-                w_n = _vwhere(better, V3(jnp.ones_like(tvol), jnp.zeros_like(tvol),
-                                         jnp.zeros_like(tvol)), w_n)
-                w_mat = jnp.where(better, jnp.int32(vmat), w_mat)
+    # dielectric
+    is_diel = mtype == float(T.MAT_DIELECTRIC)
+    ref_idx = jnp.where(is_diel, mparam, 1.5)
+    cosI = -_dot(rd, nrm)
+    entering = cosI >= 0
+    facing_n = _vwhere(entering, nrm, V3(-nrm.x, -nrm.y, -nrm.z))
+    ni_over_nt = jnp.where(entering, 1.0 / ref_idx, ref_idx)
+    ncosI = _dot(rd, facing_n)
+    sinT2 = (ni_over_nt * ni_over_nt) * (1.0 - ncosI * ncosI)
+    can_refract = sinT2 <= 1.0
+    safe_r = sinT2 < 1.0 - 1e-9
+    cosT = jnp.where(safe_r, jnp.sqrt(jnp.where(safe_r, 1.0 - sinT2, 1.0)), 0.0)
+    refracted = rd * ni_over_nt + facing_n * (ni_over_nt * (-ncosI) - cosT)
+    cs_arg = jnp.clip(1.0 - ni_over_nt * ni_over_nt * (1.0 - cosI * cosI),
+                      0.0, 1.0)
+    cs_ok = cs_arg > 1e-12
+    cos_schlick = jnp.where(
+        entering, cosI,
+        jnp.where(cs_ok, jnp.sqrt(jnp.where(cs_ok, cs_arg, 1.0)), 0.0))
+    reflect_prob = jnp.where(can_refract, _schlick(cos_schlick, ref_idx), 1.0)
+    do_reflect = _uniform(keys_b, SLOT_FRESNEL) < reflect_prob
+    diel_dir = _vwhere(do_reflect, _normalize(refl), _normalize(refracted))
+    inside_after = jnp.where(entering, inside + 1, jnp.maximum(inside - 1, 0))
+    diel_inside = jnp.where(do_reflect, inside, inside_after)
 
-            hit = best_t < INF
-            safe_t = jnp.where(hit, best_t, 1.0)
-            p = ro + rd * safe_t
-            # miss-lane record sanitation (scene_hit does the same)
-            w_n = _vwhere(hit, w_n, V3(jnp.ones_like(safe_t), jnp.zeros_like(safe_t),
-                                       jnp.zeros_like(safe_t)))
-
-            # ---------------- shade (materials.shade, exact slots) -------------
-            # material row lookup (static where-chain over M)
-            mtype = jnp.zeros_like(safe_t)
-            mparam = jnp.zeros_like(safe_t)
-            tex_id = jnp.zeros_like(safe_t)
-            for mi in range(M):
-                selm = w_mat == mi
-                mtype = jnp.where(selm, mat_ref[mi], mtype)
-                mparam = jnp.where(selm, mat_ref[M + mi], mparam)
-                tex_id = jnp.where(selm, mat_ref[2 * M + mi], tex_id)
-
-            # texture sample (const/checker)
-            c0 = V3(jnp.zeros_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
-            c1 = V3(jnp.zeros_like(safe_t), jnp.zeros_like(safe_t), jnp.zeros_like(safe_t))
-            ttype = jnp.zeros_like(safe_t)
-            tscale = jnp.zeros_like(safe_t)
-            for xi in range(X):
-                selx = tex_id == xi
-                ttype = jnp.where(selx, tex_ref[xi], ttype)
-                c0 = _vwhere(selx, V3(tex_ref[X + 3 * xi] + 0.0 * safe_t,
-                                      tex_ref[X + 3 * xi + 1] + 0.0 * safe_t,
-                                      tex_ref[X + 3 * xi + 2] + 0.0 * safe_t), c0)
-                c1 = _vwhere(selx, V3(tex_ref[4 * X + 3 * xi] + 0.0 * safe_t,
-                                      tex_ref[4 * X + 3 * xi + 1] + 0.0 * safe_t,
-                                      tex_ref[4 * X + 3 * xi + 2] + 0.0 * safe_t), c1)
-                tscale = jnp.where(selx, tex_ref[7 * X + xi], tscale)
-            sines = (jnp.sin(tscale * p.x) * jnp.sin(tscale * p.y)
-                     * jnp.sin(tscale * p.z))
-            albedo = _vwhere((ttype == float(T.TEX_CHECKER)) & (sines < 0), c1, c0)
-            if perlin:
-                turb = _turbulence(
-                    ptab, V3(p.x * tscale, p.y * tscale, p.z * tscale))
-                albedo = _vwhere(ttype == float(T.TEX_PERLIN),
-                                 V3(turb, turb, turb), albedo)
-            img_id = None
-            if meta["image"]:
-                # image texel fetched OUTSIDE the kernel (the table is far
-                # beyond the lane-gather width): shade with albedo 1, report
-                # the winner's image id; the caller multiplies the texel
-                # into beta (albedo enters the weight multiplicatively, and
-                # image materials never emit in the supported scene set)
-                iid = jnp.zeros_like(safe_t)
-                for xi in range(X):
-                    iid = jnp.where(tex_id == xi, tex_ref[8 * X + xi], iid)
-                # only materials that CONSUME albedo defer a texel: a
-                # dielectric/light lane whose tex_id merely DEFAULTS to an
-                # image texture (e.g. book2: mat 0 = earth, so glass lanes
-                # land on tex 0) must not get a spurious texel multiplied
-                # into its throughput (dielectric weight is 1 regardless,
-                # material.h:158-173; lights emit, never scatter)
-                uses_albedo = ((mtype != float(T.MAT_DIELECTRIC))
-                               & (mtype != float(T.MAT_DIFFUSE_LIGHT)))
-                is_img = (ttype == float(T.TEX_IMAGE)) & uses_albedo
-                img_id = jnp.where(is_img, iid, -1.0)
-                ones_alb = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
-                              jnp.ones_like(safe_t))
-                albedo = _vwhere(is_img, ones_alb, albedo)
-
-            nrm = w_n
-            is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)
-            emitted = _vwhere(is_light & (_dot(nrm, rd) < 0.0), albedo * mparam,
-                              V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t))
-
-            is_iso = mtype == float(T.MAT_ISOTROPIC)
-            u_ma = _uniform(keys_b, SLOT_MA)
-            u_mb = _uniform(keys_b, SLOT_MB)
-            uo, vo, wo = _onb_from_w(nrm)
-            loc = _sample_cosine(u_ma, u_mb, exact_cos)
-            cos_dir = uo * loc.x + vo * loc.y + wo * loc.z
-            iso_dir = _sample_on_sphere(u_ma, u_mb)
-            mat_gen = _vwhere(is_iso, iso_dir, cos_dir)
-
-            if lights:
-                u_mix = _uniform(keys_b, SLOT_MIX)
-                u_pick = _uniform(keys_b, SLOT_LPICK)
-                u_a = _uniform(keys_b, SLOT_LA)
-                u_b = _uniform(keys_b, SLOT_LB)
-                pick = jnp.clip((u_pick * nL).astype(jnp.int32), 0, nL - 1)
-                lgen = V3(0.0 * safe_t, 0.0 * safe_t, 0.0 * safe_t)
-                for li, (ltype, lidx) in enumerate(lights):
-                    if ltype == T.PRIM_SPHERE:
-                        si = lidx
-                        c0l = V3(sph_ref[3 * si] + 0.0 * safe_t,
-                                 sph_ref[3 * si + 1] + 0.0 * safe_t,
-                                 sph_ref[3 * si + 2] + 0.0 * safe_t)
-                        o1 = 3 * S
-                        c1l = V3(sph_ref[o1 + 3 * si] + 0.0 * safe_t,
-                                 sph_ref[o1 + 3 * si + 1] + 0.0 * safe_t,
-                                 sph_ref[o1 + 3 * si + 2] + 0.0 * safe_t)
-                        o = 6 * S
-                        t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
-                        mov, radl = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
-                        denom = jnp.where(mov > 0, t1s - t0s, 1.0)
-                        fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
-                        cenl = c0l + (c1l - c0l) * fmv
-                        to_c = cenl - p
-                        dist_sq = _dot(to_c, to_c)
-                        ul, vl, wl = _onb_from_w(_normalize(to_c))
-                        frac = jnp.clip(
-                            1.0 - radl * radl / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
-                        f_ok = frac > 1e-12
-                        sqf = jnp.where(f_ok, jnp.sqrt(jnp.where(f_ok, frac, 1.0)), 0.0)
-                        z = 1.0 + u_b * (sqf - 1.0)
-                        phi = 2.0 * PI * u_a
-                        z2 = z * z
-                        z_ok = z2 < 1.0 - 1e-12
-                        sl = jnp.where(z_ok, jnp.sqrt(jnp.where(z_ok, 1.0 - z2, 1.0)), 0.0)
-                        locl = V3(jnp.cos(phi) * sl, jnp.sin(phi) * sl, z)
-                        dgen = ul * locl.x + vl * locl.y + wl * locl.z
-                    else:
-                        ri = lidx
-                        ei = V3(rect_ref[3 * ri] + 0.0 * safe_t,
-                                rect_ref[3 * ri + 1] + 0.0 * safe_t,
-                                rect_ref[3 * ri + 2] + 0.0 * safe_t)
-                        o = 3 * R
-                        ej = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
-                                rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
-                                rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
-                        o = 6 * R
-                        ekl = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
-                                 rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
-                                 rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
-                        o = 9 * R
-                        kk = rect_ref[o + ri]
-                        i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
-                        j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
-                        iil = i0 + u_a * (i1 - i0)
-                        jjl = j0 + u_b * (j1 - j0)
-                        point = ei * iil + ej * jjl + ekl * kk
-                        dgen = point - p
-                    lgen = _vwhere(pick == li, dgen, lgen)
-                gen = _vwhere(u_mix < 0.5, lgen, mat_gen)
-                d = _normalize(gen)
-                # light pdf value: average over lights
-                lpv = 0.0 * safe_t
-                for (ltype, lidx) in lights:
-                    if ltype == T.PRIM_SPHERE:
-                        si = lidx
-                        c0l = V3(sph_ref[3 * si] + 0.0 * safe_t,
-                                 sph_ref[3 * si + 1] + 0.0 * safe_t,
-                                 sph_ref[3 * si + 2] + 0.0 * safe_t)
-                        o1 = 3 * S
-                        c1l = V3(sph_ref[o1 + 3 * si] + 0.0 * safe_t,
-                                 sph_ref[o1 + 3 * si + 1] + 0.0 * safe_t,
-                                 sph_ref[o1 + 3 * si + 2] + 0.0 * safe_t)
-                        o = 6 * S
-                        t0s, t1s = sph_ref[o + si], sph_ref[o + S + si]
-                        mov, radl = sph_ref[o + 2 * S + si], sph_ref[o + 3 * S + si]
-                        denom = jnp.where(mov > 0, t1s - t0s, 1.0)
-                        fmv = jnp.where(mov > 0, (time - t0s) / denom, 0.0)
-                        cenl = c0l + (c1l - c0l) * fmv
-                        oc = p - cenl
-                        b = _dot(oc, d)
-                        c = _dot(oc, oc) - radl * radl
-                        disc = b * b - c
-                        sqd = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
-                        t_front = -b - sqd
-                        hitl = (disc > 0) & (t_front > TMIN)
-                        to_c = cenl - p
-                        dist_sq = _dot(to_c, to_c)
-                        cm_arg = jnp.clip(
-                            1.0 - radl * radl / jnp.maximum(dist_sq, 1e-30), 0.0, 1.0)
-                        cm_ok = cm_arg > 1e-12
-                        cos_max = jnp.where(
-                            cm_ok, jnp.sqrt(jnp.where(cm_ok, cm_arg, 1.0)), 0.0)
-                        sa = 2.0 * PI * (1.0 - cos_max)
-                        lpv = lpv + jnp.where(
-                            hitl & (sa > 0), 1.0 / jnp.maximum(sa, 1e-12), 0.0)
-                    else:
-                        ri = lidx
-                        ei = V3(rect_ref[3 * ri] + 0.0 * safe_t,
-                                rect_ref[3 * ri + 1] + 0.0 * safe_t,
-                                rect_ref[3 * ri + 2] + 0.0 * safe_t)
-                        o = 3 * R
-                        ej = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
-                                rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
-                                rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
-                        o = 6 * R
-                        ekl = V3(rect_ref[o + 3 * ri] + 0.0 * safe_t,
-                                 rect_ref[o + 3 * ri + 1] + 0.0 * safe_t,
-                                 rect_ref[o + 3 * ri + 2] + 0.0 * safe_t)
-                        o = 9 * R
-                        kk = rect_ref[o + ri]
-                        i0, i1 = rect_ref[o + R + ri], rect_ref[o + 2 * R + ri]
-                        j0, j1 = rect_ref[o + 3 * R + ri], rect_ref[o + 4 * R + ri]
-                        sgn = rect_ref[o + 5 * R + ri]
-                        dk = _dot(ekl, d)
-                        facing = dk * sgn <= 0.0
-                        dk_safe = jnp.where(jnp.abs(dk) > 1e-30, dk, 1e-30)
-                        t = (kk - _dot(ekl, p)) / dk_safe
-                        iiv = _dot(ei, p) + t * _dot(ei, d)
-                        jjv = _dot(ej, p) + t * _dot(ej, d)
-                        hitl = (facing & (t >= TMIN)
-                                & (iiv >= i0) & (iiv <= i1) & (jjv >= j0) & (jjv <= j1))
-                        ts = jnp.where(hitl, t, 1.0)
-                        area = (i1 - i0) * (j1 - j0)
-                        cosine = jnp.abs(_dot(d, ekl) * sgn)
-                        val = ts * ts / jnp.maximum(cosine * area, 1e-12)
-                        lpv = lpv + jnp.where(hitl, val, 0.0)
-                lpv = lpv / nL
-                mat_pdf_v = jnp.where(
-                    is_iso, 1.0 / (2.0 * PI),
-                    jnp.where(_dot(nrm, d) > 0, _dot(nrm, d) / PI, 0.0))
-                pdf_v = 0.5 * lpv + 0.5 * mat_pdf_v
-            else:
-                d = _normalize(mat_gen)
-                pdf_v = jnp.where(
-                    is_iso, 1.0 / (2.0 * PI),
-                    jnp.where(_dot(nrm, d) > 0, _dot(nrm, d) / PI, 0.0))
-
-            scatter_pdf = jnp.where(
-                is_iso, 1.0 / (2.0 * PI), jnp.maximum(_dot(nrm, d), 0.0) / PI)
-            pdf_ok = pdf_v > 1e-12
-            safe_pdf = jnp.where(pdf_ok, pdf_v, 1.0)
-            diffuse_w = albedo * jnp.where(pdf_ok, scatter_pdf / safe_pdf, 0.0)
-
-            # metal
-            is_metal = mtype == float(T.MAT_METAL)
-            refl = rd - nrm * (2.0 * _dot(rd, nrm))
-            fuzz = _sample_in_ball(
-                _uniform(keys_b, SLOT_FUZZ), _uniform(keys_b, SLOT_FUZZ + 1),
-                _uniform(keys_b, SLOT_FUZZ + 2))
-            metal_dir = _normalize(refl + fuzz * (1.0 - mparam))
-
-            # dielectric
-            is_diel = mtype == float(T.MAT_DIELECTRIC)
-            ref_idx = jnp.where(is_diel, mparam, 1.5)
-            cosI = -_dot(rd, nrm)
-            entering = cosI >= 0
-            facing_n = _vwhere(entering, nrm, V3(-nrm.x, -nrm.y, -nrm.z))
-            ni_over_nt = jnp.where(entering, 1.0 / ref_idx, ref_idx)
-            ncosI = _dot(rd, facing_n)
-            sinT2 = (ni_over_nt * ni_over_nt) * (1.0 - ncosI * ncosI)
-            can_refract = sinT2 <= 1.0
-            safe_r = sinT2 < 1.0 - 1e-9
-            cosT = jnp.where(safe_r, jnp.sqrt(jnp.where(safe_r, 1.0 - sinT2, 1.0)), 0.0)
-            refracted = rd * ni_over_nt + facing_n * (ni_over_nt * (-ncosI) - cosT)
-            cs_arg = jnp.clip(1.0 - ni_over_nt * ni_over_nt * (1.0 - cosI * cosI),
-                              0.0, 1.0)
-            cs_ok = cs_arg > 1e-12
-            cos_schlick = jnp.where(
-                entering, cosI,
-                jnp.where(cs_ok, jnp.sqrt(jnp.where(cs_ok, cs_arg, 1.0)), 0.0))
-            reflect_prob = jnp.where(can_refract, _schlick(cos_schlick, ref_idx), 1.0)
-            do_reflect = _uniform(keys_b, SLOT_FRESNEL) < reflect_prob
-            diel_dir = _vwhere(do_reflect, _normalize(refl), _normalize(refracted))
-            inside_after = jnp.where(entering, inside + 1, jnp.maximum(inside - 1, 0))
-            diel_inside = jnp.where(do_reflect, inside, inside_after)
-
-            is_specular = is_metal | is_diel
-            new_rd = _vwhere(is_metal, metal_dir, _vwhere(is_diel, diel_dir, d))
-            new_inside = jnp.where(is_diel, diel_inside, 0)
-            ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t), jnp.ones_like(safe_t))
-            weight = _vwhere(is_diel, ones3, _vwhere(is_specular, albedo, diffuse_w))
-            return BounceOut(
-                hit=hit, safe_t=safe_t, p=p, nrm=nrm, emitted=emitted,
-                is_light=is_light, is_iso=is_iso, is_specular=is_specular,
-                weight=weight, new_rd=new_rd, new_inside=new_inside,
-                img_id=img_id,
-            )
+    is_specular = is_metal | is_diel
+    new_rd = _vwhere(is_metal, metal_dir, _vwhere(is_diel, diel_dir, d))
+    new_inside = jnp.where(is_diel, diel_inside, 0)
+    ones3 = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t), jnp.ones_like(safe_t))
+    weight = _vwhere(is_diel, ones3, _vwhere(is_specular, albedo, diffuse_w))
+    return BounceOut(
+        hit=hit, safe_t=safe_t, p=p, nrm=nrm, emitted=emitted,
+        is_light=is_light, is_iso=is_iso, is_specular=is_specular,
+        weight=weight, new_rd=new_rd, new_inside=new_inside,
+        img_id=img_id,
+    )
 
 
 def background_color(meta, rd, template):
