@@ -152,7 +152,12 @@ def main():
     offs, _ = integ.sample_offsets(64)
     ml = jnp.float32(1000.0)
 
-    # ---- forward-only throughput (secondary): regenerating wavefront ----
+    # ---- forward-only throughput (secondary) ----
+    # primary fwd number: the production single-chip path (mrt.render /
+    # render_auto — what the README table measures); the sharded wrapper
+    # (render_wavefront_distributed) is reported separately: its per-pass
+    # shard_map dispatch costs ~2.8x at n_dev=1 (measured round 4:
+    # 387.7 vs 140.0 Mrays/s on Cornell in one session)
     from miniraytracer_tpu.parallel.render import render_wavefront_distributed
 
     fwd_spp = 64
@@ -162,8 +167,16 @@ def main():
     _, fstats = render_wavefront_distributed(
         scene, W, H, fwd_spp, mesh, max_bounces=B, max_lum=1000.0
     )
-    fwd_mrays = fstats["mrays_per_s"]
     rays_per_pass = fstats["rays"] / fwd_spp
+
+    from miniraytracer_tpu.models.integrator import render_auto
+
+    _, astats = render_auto(scene, W, H, fwd_spp, max_bounces=B)  # warm
+    t0 = time.perf_counter()
+    _, a1 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    _, a2 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    t_fwd = time.perf_counter() - t0
+    fwd_mrays = (a1["rays"] + a2["rays"]) / t_fwd / 1e6
 
     # target for the training step: a progressive-pass frame
     frame = make_frame(W, H, mesh)
@@ -245,9 +258,11 @@ def main():
         "vs_baseline": round(fwdbwd_mrays / BASELINE_MRAYS, 3),
         "extra": {
             "fwd_mrays_per_s": round(fwd_mrays, 3),
-            # which renderer produced fwd_mrays_per_s (the distributed
-            # wavefront auto-selects the fused bounce kernel when eligible)
-            "fwd_renderer": fstats["renderer"],
+            # which renderer produced fwd_mrays_per_s (render_auto's pick)
+            "fwd_renderer": a2.get("renderer", "auto"),
+            # the sharded wrapper's number for reference (slower at
+            # n_dev=1: per-pass shard_map dispatch — see comment above)
+            "fwd_sharded_mrays_per_s": round(fstats["mrays_per_s"], 3),
             "rays_per_pass_while": rays_per_pass,
             "rays_per_pass_scan": scan_rays,
             "loss": float(loss),
@@ -258,6 +273,12 @@ def main():
             "spp_step": args.spp_step,
             "fused_ad": fused,
             "done_frac": round(done_frac, 5),
+            # achieved fraction of the VPU issue-rate speed-of-light model
+            # (~98 Mrays/s fwd+bwd for this op mix: ~2.8k weighted lane-ops
+            # per forward bounce x ~3.5 for the replay-backward pair at
+            # ~0.96 T lane-ops/s one-op/cycle; +-30% model uncertainty —
+            # derivation in STATUS.md ROOFLINE)
+            "sol_issue_frac": round(fwdbwd_mrays / 98.0, 2),
             # provenance stamp: a cached fallback (cached_from_previous_run)
             # carries the ORIGINAL live measurement's time/device/rev, so a
             # stale or wrong-config cache is distinguishable from a fresh run

@@ -42,7 +42,7 @@ SCENES = ["random_spheres", "random_spheres_2", "two_spheres",
 
 
 def measure_scene(name: str, *, width=500, height=500, bounces=32,
-                  pack=16, spp_step=8, steps=4):
+                  pack=16, spp_step=8, steps=4, scan_steps=0):
     scene = getattr(S, name)(width / height)
     mesh = make_mesh(len(jax.devices()), 1)
     offs, _ = integ.sample_offsets(64)
@@ -60,7 +60,8 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
 
     step = make_train_step(mesh, width=width, height=height,
                            max_bounces=bounces, pack=pack,
-                           spp_step=spp_step, fused_ad=fused)
+                           spp_step=spp_step, fused_ad=fused,
+                           scan_steps=scan_steps)
     params = extract_params(scene)
     lr = jnp.float32(0.0)
 
@@ -70,7 +71,7 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
         pix_all = jnp.arange(width * height, dtype=jnp.uint32)
         _s, nv, step_rays = bounce_ad.sample_pixel_sums_fused(
             scene, pix_all, 0, spp_step, width=width, height=height,
-            max_bounces=bounces, scan_steps=0)
+            max_bounces=bounces, scan_steps=scan_steps)
         rays = float(step_rays)
         done_frac = float(nv.sum()) / (width * height * spp_step)
     else:
@@ -88,7 +89,7 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
                 [off_all, jnp.broadcast_to(off_all[-1:], (pad, 2))])
         _, done_mask, ray_ctr = integ.sample_radiance_packed(
             scene, pix_all, samp_all, off_all, width=width, height=height,
-            max_bounces=bounces, pack=pack, scan_steps=0)
+            max_bounces=bounces, pack=pack, scan_steps=scan_steps)
         done_frac = float(done_mask.mean())
         rays = float(ray_ctr)
 

@@ -50,3 +50,30 @@ def test_channel_means_match_reference(refs, sid, spp, tol):
     our_mean = ours.mean(axis=(0, 1))
     rel = np.abs(ref_mean - our_mean) / np.maximum(ref_mean, 1e-6)
     assert rel.max() < tol, f"{name}: ref {ref_mean} vs ours {our_mean}"
+
+
+# Matched-spp gate (the README headline bound): ours at the archive's own
+# 64 spp via the work-queue renderer. Deterministic given config (counter
+# RNG), so tolerances sit ~1.5x above the measured CPU values
+# (0.03%-0.46% for eight scenes, 0.78% for triangles — its dielectric
+# meshes make it the highest-variance scene). Slow lane only.
+CASES_64 = [
+    (0, 0.005), (1, 0.007), (2, 0.001), (3, 0.003), (4, 0.002),
+    (5, 0.005), (6, 0.003), (7, 0.007), (8, 0.012),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sid,tol", CASES_64,
+                         ids=[S.SCENE_NAMES[c[0]] for c in CASES_64])
+def test_channel_means_match_reference_64spp(refs, sid, tol):
+    name = S.SCENE_NAMES[sid]
+    ref = refs[name]
+    scene = S.select_scene(sid, 1.0)
+    ours, _ = integ.render_workqueue(scene, 100, 100, 64, max_bounces=16)
+    ours = np.asarray(ours)
+    assert np.isfinite(ours).all()
+    ref_mean = ref.mean(axis=(0, 1))
+    our_mean = ours.reshape(-1, 3).mean(axis=0)
+    rel = np.abs(ref_mean - our_mean) / np.maximum(ref_mean, 1e-6)
+    assert rel.max() < tol, f"{name}: ref {ref_mean} vs ours {our_mean}"
