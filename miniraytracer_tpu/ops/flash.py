@@ -1706,16 +1706,29 @@ def sphere_hit_culled_auto(cull, ro, rd, time, inside, tmin):
     return flash_sphere_hit_streamed(cull, ro, rd, time, inside, tmin)
 
 
+def _tri_hit_culled_ad_fwd(cull, ro, rd, inside, tmin):
+    """Forward kernel choice for the DIFFERENTIABLE path: always the
+    HBM-streamed kernel, never the resident one. Under reverse AD the
+    coefficient tables are functions of the differentiable scene params,
+    so XLA cannot hoist them out of the bounce scan — the resident
+    kernel's whole-table VMEM operands then get stack-allocated per scan
+    iteration with 16->128 lane padding (4 x 5.8 MB) and the compile dies
+    with a scoped-vmem OOM (measured round 4, triangles 500x500 train
+    step). The streamed kernel keeps tables in HBM (pl.ANY) and DMAs
+    per-cluster blocks, so its scoped footprint is the double buffer."""
+    return flash_tri_hit_streamed(cull, ro, rd, inside, tmin)
+
+
 @jax.custom_vjp
 def flash_tri_hit_culled_d(cull, coeffs, ro, rd, inside, tmin):
     """Differentiable closest-hit via the culled kernels (exact same
     results as flash_tri_hit_d; forward cost tracks relevant clusters)."""
     del coeffs  # value-redundant with cull; used by the backward
-    return tri_hit_culled_auto(cull, ro, rd, inside, tmin)
+    return _tri_hit_culled_ad_fwd(cull, ro, rd, inside, tmin)
 
 
 def _tri_culled_fwd(cull, coeffs, ro, rd, inside, tmin):
-    t, idx = tri_hit_culled_auto(cull, ro, rd, inside, tmin)
+    t, idx = _tri_hit_culled_ad_fwd(cull, ro, rd, inside, tmin)
     return (t, idx), (coeffs, ro, rd, t, idx)
 
 
