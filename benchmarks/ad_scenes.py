@@ -48,6 +48,8 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
     offs, _ = integ.sample_offsets(64)
     ml = jnp.float32(1000.0)
     fused = bounce_ad.can_fuse_ad(scene)
+    if not fused and bounce_ad.can_fuse_ad_ext(scene):
+        fused = "ext"  # hybrid-ext fused step (big prim sets via culled VJPs)
 
     # target frame: one progressive pass
     frame = make_frame(width, height, mesh)
@@ -71,7 +73,8 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
         pix_all = jnp.arange(width * height, dtype=jnp.uint32)
         _s, nv, step_rays = bounce_ad.sample_pixel_sums_fused(
             scene, pix_all, 0, spp_step, width=width, height=height,
-            max_bounces=bounces, scan_steps=scan_steps)
+            max_bounces=bounces, scan_steps=scan_steps,
+            use_ext=(fused == "ext"))
         rays = float(step_rays)
         done_frac = float(nv.sum()) / (width * height * spp_step)
     else:
@@ -109,7 +112,7 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
     return {
         "scene": name, "fwdbwd_mrays_per_s": round(mrays, 3),
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-        "path": "fused-vjp" if fused else "packed-scan",
+        "path": ({True: "fused-vjp", "ext": "fused-vjp-ext"}.get(fused, "packed-scan")),
         "step_seconds": round(dt, 3), "rays_per_step": rays,
         "done_frac": round(done_frac, 5), "grads_finite": finite,
         "loss": float(loss),

@@ -102,10 +102,14 @@ def diff_indices(meta):
 
 def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit, tabs, camv, ptab, pix, sampbase,
-                     t_step, f, i, keys):
+                     t_step, f, i, keys, ext=None):
     """One scan step on lane tiles: bounce + completion merge + regen.
 
     `f` is a tuple of NF float rows, `i` of NJ int rows, `keys` u32.
+    `ext` (hybrid-ext mode): the EXTERNAL surface candidate for this step
+    from the differentiable culled flash kernels, as (t, nx, ny, nz,
+    mat_f) lane tiles — bounce_physics seeds its running winner with it
+    exactly as the forward hybrid step does (ops/hybrid.py step 3).
     Returns (f', i', keys'). All scene-table args indexable by static ints.
     """
     n_off = sq_off * sq_off
@@ -125,7 +129,8 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
     keys_b = B._fold(keys, depth)
     depth_ok = depth < max_bounces
 
-    b = B.bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b)
+    b = B.bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b,
+                         ext=ext)
     scattered = depth_ok & ~b.is_light
     add_emitted = ~(scattered & b.is_specular)
     safe_t = b.safe_t
@@ -192,12 +197,22 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
 # ---------------------------------------------------------------------------
 
 
+NE = 5  # ext rows: t, nx, ny, nz, mat_f
+
+
 def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
-                     claim_limit):
-    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
-               tex_ref, cam_ref,
-               ptab_ref, misc_ref, f_ref, i_ref, k_ref, pix_ref, sb_ref,
-               fo_ref, io_ref, ko_ref):
+                     claim_limit, use_ext=False):
+    def kernel(*refs):
+        if use_ext:
+            (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+             tex_ref, cam_ref, ptab_ref, misc_ref, f_ref, i_ref, k_ref,
+             pix_ref, sb_ref, ext_ref, fo_ref, io_ref, ko_ref) = refs
+            ext = tuple(ext_ref[r] for r in range(NE))
+        else:
+            (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+             tex_ref, cam_ref, ptab_ref, misc_ref, f_ref, i_ref, k_ref,
+             pix_ref, sb_ref, fo_ref, io_ref, ko_ref) = refs
+            ext = None
         tabs = (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
                 tex_ref)
         t_step = misc_ref[0].astype(jnp.int32)
@@ -210,7 +225,8 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
         keys = jax.lax.bitcast_convert_type(k_ref[:], jnp.uint32)
         f_out, i_out, k_out = _pixel_step_math(
             meta, width, height, sq_off, max_bounces, spp, claim_limit,
-            tabs, cam_ref, ptab_ref, pix, sampbase, t_step, f, i, keys)
+            tabs, cam_ref, ptab_ref, pix, sampbase, t_step, f, i, keys,
+            ext=ext)
         fo_ref[:] = jnp.stack(f_out)
         io_ref[:] = jnp.stack([
             jax.lax.bitcast_convert_type(r, jnp.float32) for r in i_out])
@@ -225,13 +241,21 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
 
 
 def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
-                     claim_limit, lens, didx, n_diff):
+                     claim_limit, lens, didx, n_diff, use_ext=False):
     perlin = meta["perlin"]
 
-    def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
-               tex_ref, cam_ref,
-               ptab_ref, misc_ref, fr_ref, i_ref, k_ref, pix_ref, sb_ref,
-               cf_ref, dci_f_ref, dtab_ref):
+    def kernel(*refs):
+        if use_ext:
+            (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+             tex_ref, cam_ref, ptab_ref, misc_ref, fr_ref, i_ref, k_ref,
+             pix_ref, sb_ref, ext_ref, cf_ref,
+             dci_f_ref, dext_ref, dtab_ref) = refs
+            ext_in = tuple(ext_ref[r] for r in range(NE))
+        else:
+            (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
+             tex_ref, cam_ref, ptab_ref, misc_ref, fr_ref, i_ref, k_ref,
+             pix_ref, sb_ref, cf_ref, dci_f_ref, dtab_ref) = refs
+            ext_in = None
         t_step = misc_ref[0].astype(jnp.int32)
         pix = jax.lax.bitcast_convert_type(pix_ref[:], jnp.uint32)
         sampbase = jax.lax.bitcast_convert_type(sb_ref[:], jnp.int32)
@@ -264,7 +288,7 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
         n_s, n_t = len(didx["sph"]), len(didx["tri"])
         n_m = len(didx["mat"])
 
-        def fdiff(dv, f):
+        def fdiff(dv, f, ext):
             sph2 = list(sph_l)
             tri2 = list(tri_l)
             mat2 = list(mat_l)
@@ -284,12 +308,19 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             tabs = (sph2, rect_l, tri2, box_l, vol_l, mat2, tex2)
             f_out, _, _ = _pixel_step_math(
                 meta, width, height, sq_off, max_bounces, spp, claim_limit,
-                tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys)
+                tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys,
+                ext=ext)
             return f_out
 
-        _, pull = jax.vjp(fdiff, diff_vals, f_in)
         cot_f = tuple(cf_ref[r] for r in range(NF))
-        d_dv, d_f = pull(cot_f)
+        if use_ext:
+            _, pull = jax.vjp(fdiff, diff_vals, f_in, ext_in)
+            d_dv, d_f, d_ext = pull(cot_f)
+            dext_ref[:] = jnp.stack(d_ext)
+        else:
+            _, pull = jax.vjp(lambda dv, f: fdiff(dv, f, None),
+                              diff_vals, f_in)
+            d_dv, d_f = pull(cot_f)
 
         dci_f_ref[:] = jnp.stack(d_f)
         # Accumulate the per-block table cotangents into ONE (1, n_diff) SMEM
@@ -313,20 +344,25 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
 
 @lru_cache(maxsize=32)
 def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
-              interpret):
-    """Returns step(tables..., fstate, istate_f, keys_f, pix_f, sb_f, t_f)
-    -> (fstate', istate_f', keys_f') with a fused custom VJP.
+              interpret, use_ext=False):
+    """Returns step(tables..., fstate, istate_f, keys_f, pix_f, sb_f, t_f
+    [, ext]) -> (fstate', istate_f', keys_f') with a fused custom VJP.
 
     Integer lane rows ride bitcast to f32 so every custom_vjp leaf is float
-    (their cotangents are structural zeros)."""
+    (their cotangents are structural zeros). With `use_ext` the step takes
+    an (NE, r128, 128) external-candidate stack as an extra DIFFERENTIABLE
+    input (hybrid-ext mode: big primitive sets intersected by the culled
+    custom-VJP flash kernels outside the kernel; its cotangent d_ext flows
+    back to them through the XLA chain between scan steps)."""
     meta_d = dict(meta)
     lens = table_lengths(meta_d)
     didx = diff_indices(meta_d)
     n_diff = sum(len(v) for v in didx.values())
     fwd_kernel = _make_fwd_kernel(meta_d, width, height, sq_off, max_bounces,
-                                  spp, claim_limit)
+                                  spp, claim_limit, use_ext)
     bwd_kernel = _make_bwd_kernel(meta_d, width, height, sq_off, max_bounces,
-                                  spp, claim_limit, lens, didx, n_diff)
+                                  spp, claim_limit, lens, didx, n_diff,
+                                  use_ext)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     ptab_spec = pl.BlockSpec((96, 128), lambda b: (0, 0),
@@ -337,14 +373,18 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
     spec2 = pl.BlockSpec((BLOCK_ROWS, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
 
-    def run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f):
+    def run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f,
+                ext=None):
         r128 = fstate.shape[1]
         misc = jnp.stack([t_f])
+        ext_in = [ext] if use_ext else []
+        ext_spec = [spec3(NE)] if use_ext else []
         fo, io, ko = pl.pallas_call(
             fwd_kernel,
             grid=(r128 // BLOCK_ROWS,),
             in_specs=([smem] * 8 + [ptab_spec, smem]
-                      + [spec3(NF), spec3(NJ), spec2, spec2, spec2]),
+                      + [spec3(NF), spec3(NJ), spec2, spec2, spec2]
+                      + ext_spec),
             out_specs=[spec3(NF), spec3(NJ), spec2],
             out_shape=[
                 jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
@@ -352,49 +392,83 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
                 jax.ShapeDtypeStruct((r128, 128), jnp.float32),
             ],
             interpret=interpret,
-        )(*tables, misc, fstate, istate_f, keys_f, pix_f, sb_f)
+        )(*tables, misc, fstate, istate_f, keys_f, pix_f, sb_f, *ext_in)
         return fo, io, ko
 
-    def run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f, cot_f):
+    def run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f, cot_f,
+                ext=None):
         r128 = f_res.shape[1]
         nblocks = r128 // BLOCK_ROWS
         misc = jnp.stack([t_f])
         dtab_spec = pl.BlockSpec((1, n_diff), lambda b: (0, 0),
                                  memory_space=pltpu.SMEM)
-        d_f, d_tab = pl.pallas_call(
+        ext_in = [ext] if use_ext else []
+        ext_spec = [spec3(NE)] if use_ext else []
+        dext_outspec = [spec3(NE)] if use_ext else []
+        dext_outshape = ([jax.ShapeDtypeStruct((NE, r128, 128), jnp.float32)]
+                         if use_ext else [])
+        outs = pl.pallas_call(
             bwd_kernel,
             grid=(nblocks,),
             in_specs=([smem] * 8 + [ptab_spec, smem]
                       + [spec3(RES_HI - RES_LO), spec3(NJ), spec2, spec2,
-                         spec2, spec3(NF)]),
-            out_specs=[spec3(NF), dtab_spec],
+                         spec2] + ext_spec + [spec3(NF)]),
+            out_specs=[spec3(NF)] + dext_outspec + [dtab_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
+            ] + dext_outshape + [
                 jax.ShapeDtypeStruct((1, n_diff), jnp.float32),
             ],
             interpret=interpret,
-        )(*tables, misc, f_res, istate_f, keys_f, pix_f, sb_f, cot_f)
-        return d_f, d_tab[0]
+        )(*tables, misc, f_res, istate_f, keys_f, pix_f, sb_f, *ext_in,
+          cot_f)
+        if use_ext:
+            d_f, d_ext, d_tab = outs
+            return d_f, d_ext, d_tab[0]
+        d_f, d_tab = outs
+        return d_f, None, d_tab[0]
 
-    @jax.custom_vjp
-    def step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
-             fstate, istate_f, keys_f, pix_f, sb_f, t_f):
-        tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
-        return run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
+    if use_ext:
+        @jax.custom_vjp
+        def step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+                 fstate, istate_f, keys_f, pix_f, sb_f, t_f, ext):
+            tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
+            return run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f,
+                           t_f, ext)
 
-    def step_fwd(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+        def step_fwd(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+                     fstate, istate_f, keys_f, pix_f, sb_f, t_f, ext):
+            tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
+            out = run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f,
+                          t_f, ext)
+            res = (tables, fstate[RES_LO:RES_HI], istate_f, keys_f, pix_f,
+                   sb_f, t_f, ext)
+            return out, res
+    else:
+        @jax.custom_vjp
+        def step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
                  fstate, istate_f, keys_f, pix_f, sb_f, t_f):
-        tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
-        out = run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
-        res = (tables, fstate[RES_LO:RES_HI], istate_f, keys_f, pix_f, sb_f,
-               t_f)
-        return out, res
+            tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
+            return run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f,
+                           t_f)
+
+        def step_fwd(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+                     fstate, istate_f, keys_f, pix_f, sb_f, t_f):
+            tables = (sph, rect, tri, box, vol, mat, tex, camv, ptab)
+            out = run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f)
+            res = (tables, fstate[RES_LO:RES_HI], istate_f, keys_f, pix_f,
+                   sb_f, t_f)
+            return out, res
 
     def step_bwd(res, cots):
-        tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f = res
+        if use_ext:
+            (tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f, ext) = res
+        else:
+            tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f = res
+            ext = None
         cot_f, _cot_i, _cot_k = cots
-        d_f, d_flat = run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f,
-                              t_f, cot_f)
+        d_f, d_ext, d_flat = run_bwd(tables, f_res, istate_f, keys_f, pix_f,
+                                     sb_f, t_f, cot_f, ext)
         # NOTE: no extra pass-through for the sum/nvalid/rays rows excluded
         # from the residual — the vjp replay feeds them as zeros, and since
         # they enter the step ADDITIVELY their pullback is the identity
@@ -424,9 +498,12 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         if didx["tex"]:
             d_tex = d_tex.at[jnp.asarray(didx["tex"])].set(
                 d_flat[o:o + len(didx["tex"])])
-        return (d_sph, zt(rect), d_tri, zt(box), zt(vol), d_mat, d_tex,
-                zt(camv), zt(ptab), d_f, zt(istate_f), zt(keys_f), zt(pix_f),
-                zt(sb_f), jnp.zeros_like(t_f))
+        grads = (d_sph, zt(rect), d_tri, zt(box), zt(vol), d_mat, d_tex,
+                 zt(camv), zt(ptab), d_f, zt(istate_f), zt(keys_f),
+                 zt(pix_f), zt(sb_f), jnp.zeros_like(t_f))
+        if use_ext:
+            grads = grads + (d_ext,)
+        return grads
 
     step.defvjp(step_fwd, step_bwd)
     return step
@@ -441,9 +518,156 @@ def can_fuse_ad(scene: T.SceneData) -> bool:
     return B.can_fuse(scene)
 
 
+def can_fuse_ad_ext(scene: T.SceneData, for_tpu: bool = True) -> bool:
+    """Hybrid-ext AD eligibility: the step kernel handles the in-SMEM
+    types, the big sphere/triangle sets come in through the differentiable
+    culled flash kernels. Image scenes are excluded (the AD step has no
+    texel-deferral machinery yet — they stay on the packed XLA scan)."""
+    from miniraytracer_tpu.ops import hybrid as H
+
+    return (not B.can_fuse(scene) and H.can_hybrid(scene, for_tpu)
+            and not scene.has_image)
+
+
+def _ext_accel_d(scene: T.SceneData):
+    """Differentiable flash state for the external types: same thresholds
+    as hybrid.hybrid_accel, custom-VJP kernel variants. The cull tables are
+    value-redundant with `coeffs` (their cotangent is structurally dropped
+    by the kernels' VJPs), so all geometry gradient flows through the
+    coeffs built here from the CURRENT (params-applied) scene."""
+    from miniraytracer_tpu.ops import flash, hybrid as H
+    from miniraytracer_tpu.ops import intersect as ix
+
+    ext_sph, ext_tri, _ = H._ext_types(scene)
+    accel = {}
+    if ext_tri:
+        m = V3(scene.tri_m[:, 0], scene.tri_m[:, 1], scene.tri_m[:, 2])
+        u = V3(scene.tri_u[:, 0], scene.tri_u[:, 1], scene.tri_u[:, 2])
+        v = V3(scene.tri_v[:, 0], scene.tri_v[:, 1], scene.tri_v[:, 2])
+        coeffs = flash.tri_coefficients(m, u, v, scene.tri_active)
+        if scene.n_tris < ix.FLASH_CULL_MIN_TRIS:
+            accel["tri_d"] = coeffs
+        else:
+            accel["tri_cull_d"] = (
+                flash.tri_cull_build(m, u, v, scene.tri_active, coeffs),
+                coeffs)
+    if ext_sph:
+        coeffs_s = flash.sphere_coefficients(scene)
+        if scene.n_spheres < ix.FLASH_GATE_MIN_SPHERES:
+            accel["sph_d"] = coeffs_s
+        else:
+            accel["sph_cull_d"] = (
+                flash.sph_cull_build(scene, coeffs_s), coeffs_s)
+    return accel
+
+
+def _external_candidate_d(scene, accel, rays, alive, tmin):
+    """Differentiable analog of hybrid._external_candidate: closest hit of
+    the external types via the custom-VJP flash kernels + XLA record
+    assembly. Returns 5 (N,) rows (t, nx, ny, nz, mat_f), t == INF when
+    none; gradients flow to the scene geometry through the kernels'
+    hand-derived backwards and the record assembly."""
+    from miniraytracer_tpu.ops import flash, hybrid as H
+    from miniraytracer_tpu.ops import intersect as ix
+    from miniraytracer_tpu.ops.vecmath import vwhere
+
+    n = rays.time.shape[0]
+    NAN = H.NAN
+    INFv = B.INF
+    nan3 = V3(jnp.where(alive, rays.ro.x, NAN),
+              jnp.where(alive, rays.ro.y, NAN),
+              jnp.where(alive, rays.ro.z, NAN))
+    nand = V3(jnp.where(alive, rays.rd.x, NAN),
+              jnp.where(alive, rays.rd.y, NAN),
+              jnp.where(alive, rays.rd.z, NAN))
+    inf = jnp.full((n,), INFv)
+
+    t_s, i_s = inf, jnp.zeros((n,), jnp.int32)
+    if "sph_d" in accel:
+        t_s, i_s = flash.flash_sphere_hit_d(
+            accel["sph_d"], nan3, nand, rays.time, rays.inside, tmin)
+    elif "sph_cull_d" in accel:
+        cull_s, coeffs_s = accel["sph_cull_d"]
+        t_s, i_s = flash.flash_sphere_hit_culled_d(
+            cull_s, coeffs_s, nan3, nand, rays.time, rays.inside, tmin)
+
+    t_t, i_t = inf, jnp.zeros((n,), jnp.int32)
+    if "tri_d" in accel:
+        t_t, i_t = flash.flash_tri_hit_d(
+            accel["tri_d"], nan3, nand, rays.inside, tmin)
+    elif "tri_cull_d" in accel:
+        cull_t, coeffs_t = accel["tri_cull_d"]
+        t_t, i_t = flash.flash_tri_hit_culled_d(
+            cull_t, coeffs_t, nan3, nand, rays.inside, tmin)
+
+    # big box sets: XLA sweep (differentiable as-is)
+    _, _, ext_box = H._ext_types(scene)
+    t_b = inf
+    i_b = jnp.zeros((n,), jnp.int32)
+    if ext_box:
+        tmax0 = jnp.full((n,), INFv)
+        t_b, i_b = ix._chunked_min(
+            lambda s, c: ix.box_ts(scene, rays, s, c, tmin, tmax0),
+            scene.n_boxes, n)
+        t_b = jnp.where(alive & jnp.isfinite(t_b), t_b, INFv)
+
+    t_s = jnp.where(jnp.isfinite(t_s) & alive, t_s, INFv)
+    t_t = jnp.where(jnp.isfinite(t_t) & alive, t_t, INFv)
+
+    has_sph = "sph_d" in accel or "sph_cull_d" in accel
+    has_tri = "tri_d" in accel or "tri_cull_d" in accel
+
+    # record assembly under jax.checkpoint: its one-hot lookup matrices are
+    # O(lanes x prims) — saved per scan step as reverse-AD residuals they
+    # OOM HBM at 500x500 (measured: 85 GB for triangles); recomputing them
+    # in the backward from the (small) kernel outputs is nearly free
+    def _assemble(scene, rox, roy, roz, rdx, rdy, rdz, time_, inside_,
+                  t_s, t_t, t_b, i_s, i_t, i_b):
+        rays2 = ix.Rays(ro=V3(rox, roy, roz), rd=V3(rdx, rdy, rdz),
+                        time=time_, inside=inside_)
+        ext_t = jnp.minimum(jnp.minimum(t_s, t_t), t_b)
+        is_s = t_s <= jnp.minimum(t_t, t_b)
+        is_t = ~is_s & (t_t <= t_b)
+        is_b = ~is_s & ~is_t
+        has = ext_t < INFv
+        safe_t = jnp.where(has, ext_t, 1.0)
+        one = jnp.ones_like(safe_t)
+        zero = jnp.zeros_like(safe_t)
+        nrm = V3(one, zero, zero)
+        mat = jnp.zeros((n,), jnp.int32)
+        if has_sph:
+            idx_s = jnp.where(is_s & has, i_s, 0)
+            _, n_sph, _, _, m_sph = ix.sphere_record(scene, rays2, safe_t,
+                                                     idx_s)
+            nrm = vwhere(is_s, n_sph, nrm)
+            mat = jnp.where(is_s, m_sph, mat)
+        if has_tri:
+            idx_t = jnp.where(is_t & has, i_t, 0)
+            _, n_tri, _, _, m_tri = ix.tri_record(scene, rays2, safe_t,
+                                                  idx_t)
+            nrm = vwhere(is_t, n_tri, nrm)
+            mat = jnp.where(is_t, m_tri, mat)
+        if ext_box:
+            idx_b = jnp.where(is_b & has, i_b, 0)
+            _, n_box, _, _, m_box = ix.box_record(scene, rays2, safe_t,
+                                                  idx_b)
+            nrm = vwhere(is_b, n_box, nrm)
+            mat = jnp.where(is_b, m_box, mat)
+        nx = jnp.where(has, nrm.x, one)
+        ny = jnp.where(has, nrm.y, 0.0)
+        nz = jnp.where(has, nrm.z, 0.0)
+        ext_to = jnp.where(has, ext_t, INFv)
+        mat_f = jnp.where(has, mat, 0).astype(jnp.float32)
+        return ext_to, nx, ny, nz, mat_f
+
+    return jax.checkpoint(_assemble)(
+        scene, rays.ro.x, rays.ro.y, rays.ro.z, rays.rd.x, rays.rd.y,
+        rays.rd.z, rays.time, rays.inside, t_s, t_t, t_b, i_s, i_t, i_b)
+
+
 def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
                             max_bounces, sq_off=8, scan_steps=0,
-                            interpret=False):
+                            interpret=False, use_ext=False):
     """Differentiable (finite-radiance sum, valid count) per pixel over `spp`
     consecutive samples starting at `samp_base`, via the fused step kernels.
 
@@ -452,12 +676,25 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
     sq_off^2 grid indexed by (sample % sq_off^2) — identical to indexing
     integrator.sample_offsets(sq_off^2) rows mod table size.
 
+    `use_ext` (requires can_fuse_ad_ext): big sphere/triangle sets are
+    intersected per scan step by the DIFFERENTIABLE culled flash kernels
+    outside the step kernel and fed in as the external candidate — the
+    hybrid-AD step. Estimator-identical to the packed scan (same physics,
+    same RNG); gradients w.r.t. geometry flow through the kernels'
+    hand-derived VJPs and the XLA record assembly.
+
     Returns (sum V3 (N,), nvalid (N,), rays_traced ()).
     """
     from miniraytracer_tpu.models import camera as cam_mod
     from miniraytracer_tpu.ops import rng as rng_mod
 
-    meta_d, tables = B.pack_scene(scene)
+    if use_ext:
+        from miniraytracer_tpu.ops import hybrid as H
+
+        meta_d, tables = H.pack_scene_hybrid(scene)
+        ext_accel = _ext_accel_d(scene)
+    else:
+        meta_d, tables = B.pack_scene(scene)
     meta = tuple(sorted(meta_d.items()))
     if scan_steps <= 0:
         scan_steps = spp * 6 + max_bounces + 1
@@ -505,14 +742,36 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
     sb_f = bc(t2(sb_p), jnp.float32)
 
     step = _get_step(meta, width, height, sq_off, max_bounces, spp,
-                     claim_limit, interpret)
+                     claim_limit, interpret, use_ext)
     sph, rect, tri, box, vol, mat, tex, camv, ptab = tables
 
-    def body(carry, t_f):
-        f, i, k = carry
-        f, i, k = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
-                       f, i, k, pix_f, sb_f, t_f)
-        return (f, i, k), None
+    if use_ext:
+        flatp = lambda a: a.reshape(-1)
+
+        def body(carry, t_f):
+            f, i, k = carry
+            ro = V3(flatp(f[A_RO]), flatp(f[A_RO + 1]), flatp(f[A_RO + 2]))
+            rd = V3(flatp(f[A_RD]), flatp(f[A_RD + 1]), flatp(f[A_RD + 2]))
+            time = flatp(f[A_TIME])
+            inside = flatp(
+                jax.lax.bitcast_convert_type(i[J_INSIDE], jnp.int32))
+            alive = flatp(f[A_ALIVE]) > 0.0
+            from miniraytracer_tpu.ops import intersect as ix
+
+            er = _external_candidate_d(
+                scene, ext_accel,
+                ix.Rays(ro=ro, rd=rd, time=time, inside=inside),
+                alive, B.TMIN)
+            ext = jnp.stack([r.reshape(r128, 128) for r in er])
+            f, i, k = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+                           f, i, k, pix_f, sb_f, t_f, ext)
+            return (f, i, k), None
+    else:
+        def body(carry, t_f):
+            f, i, k = carry
+            f, i, k = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+                           f, i, k, pix_f, sb_f, t_f)
+            return (f, i, k), None
 
     (fstate, _, _), _ = jax.lax.scan(
         body, (fstate, istate_f, keys_f),

@@ -99,6 +99,9 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
             # exactly the (finite sum, valid count) the SSE below consumes.
             # Same (pixel, sample) -> RNG key mapping as the packed branch,
             # so the estimator (and its gradient targets) are unchanged.
+            # fused_ad == "ext": the hybrid-ext variant — big sphere/
+            # triangle sets intersected per step by the differentiable
+            # culled flash kernels (bounce_ad.can_fuse_ad_ext scenes).
             from miniraytracer_tpu.ops import bounce_ad
 
             samp_base = sample0 * spp_step + sp_i * spp_step
@@ -106,6 +109,7 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
                 scene, pix, samp_base, spp_step,
                 width=width, height=height, max_bounces=max_bounces,
                 scan_steps=scan_steps, interpret=interpret,
+                use_ext=(fused_ad == "ext"),
             )
             sum3 = jnp.stack([summ.x, summ.y, summ.z], axis=-1)
             n_valid = jax.lax.psum(
@@ -240,6 +244,9 @@ def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
     packed path (tests/test_bounce_ad.py), one lane per pixel tracing
     spp_step sequential samples. Requires bounce_ad.can_fuse_ad(scene)
     (small const/checker/perlin scenes, TPU backend); `pack` is ignored.
+    `fused_ad="ext"` uses the hybrid-ext step (external sphere/triangle
+    sets through the differentiable culled flash kernels) — requires
+    bounce_ad.can_fuse_ad_ext(scene).
     """
     return _make_step(mesh, width, height, max_bounces, pack, scan_steps,
                       spp_step, fused_ad, interpret)
