@@ -189,7 +189,18 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
              out_rad.x, out_rad.y, out_rad.z,
              out_alive, nvalid, rays_ct)
     i_out = (count, out_inside, out_depth)
-    return f_out, i_out, out_keys
+    if meta["image"]:
+        # pending image-albedo rows (hybrid deferral, ops/hybrid.py:296-303):
+        # the kernel shades image lanes with albedo 1; the caller multiplies
+        # the texel into the lane's beta between steps. Only CONTINUING
+        # lanes carry a pending id (a finished lane's beta is never used —
+        # trace()'s depth-cap branch returns emitted only; regen lanes are
+        # a subset of finished ones).
+        none = jnp.full_like(safe_t, -1.0)
+        img_out = (jnp.where(cont, b.img_id, none),
+                   b.nrm.x, b.nrm.y, b.nrm.z)
+        return f_out, i_out, out_keys, img_out
+    return f_out, i_out, out_keys, None
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +213,11 @@ NE = 5  # ext rows: t, nx, ny, nz, mat_f
 
 def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit, use_ext=False):
+    has_img = meta["image"]
+
     def kernel(*refs):
+        refs = list(refs)
+        imgo_ref = refs.pop() if has_img else None
         if use_ext:
             (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
              tex_ref, cam_ref, ptab_ref, misc_ref, f_ref, i_ref, k_ref,
@@ -223,7 +238,7 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             jax.lax.bitcast_convert_type(i_ref[r], jnp.int32)
             for r in range(NJ))
         keys = jax.lax.bitcast_convert_type(k_ref[:], jnp.uint32)
-        f_out, i_out, k_out = _pixel_step_math(
+        f_out, i_out, k_out, img_out = _pixel_step_math(
             meta, width, height, sq_off, max_bounces, spp, claim_limit,
             tabs, cam_ref, ptab_ref, pix, sampbase, t_step, f, i, keys,
             ext=ext)
@@ -231,6 +246,8 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
         io_ref[:] = jnp.stack([
             jax.lax.bitcast_convert_type(r, jnp.float32) for r in i_out])
         ko_ref[:] = jax.lax.bitcast_convert_type(k_out, jnp.float32)
+        if has_img:
+            imgo_ref[:] = jnp.stack(img_out)
 
     return kernel
 
@@ -306,10 +323,12 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             for j, n in enumerate(didx["tex"]):
                 tex2[n] = dv[o + j]
             tabs = (sph2, rect_l, tri2, box_l, vol_l, mat2, tex2)
-            f_out, _, _ = _pixel_step_math(
+            f_out, _, _, _img = _pixel_step_math(
                 meta, width, height, sq_off, max_bounces, spp, claim_limit,
                 tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys,
                 ext=ext)
+            # _img carries structurally-zero cotangents (its only consumers
+            # are integer texel selections) — excluded from the pullback
             return f_out
 
         cot_f = tuple(cf_ref[r] for r in range(NF))
@@ -373,27 +392,32 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
     spec2 = pl.BlockSpec((BLOCK_ROWS, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
 
+    has_img = meta_d["image"]
+
     def run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f,
                 ext=None):
         r128 = fstate.shape[1]
         misc = jnp.stack([t_f])
         ext_in = [ext] if use_ext else []
         ext_spec = [spec3(NE)] if use_ext else []
-        fo, io, ko = pl.pallas_call(
+        img_outspec = [spec3(4)] if has_img else []
+        img_outshape = ([jax.ShapeDtypeStruct((4, r128, 128), jnp.float32)]
+                        if has_img else [])
+        outs = pl.pallas_call(
             fwd_kernel,
             grid=(r128 // BLOCK_ROWS,),
             in_specs=([smem] * 8 + [ptab_spec, smem]
                       + [spec3(NF), spec3(NJ), spec2, spec2, spec2]
                       + ext_spec),
-            out_specs=[spec3(NF), spec3(NJ), spec2],
+            out_specs=[spec3(NF), spec3(NJ), spec2] + img_outspec,
             out_shape=[
                 jax.ShapeDtypeStruct((NF, r128, 128), jnp.float32),
                 jax.ShapeDtypeStruct((NJ, r128, 128), jnp.float32),
                 jax.ShapeDtypeStruct((r128, 128), jnp.float32),
-            ],
+            ] + img_outshape,
             interpret=interpret,
         )(*tables, misc, fstate, istate_f, keys_f, pix_f, sb_f, *ext_in)
-        return fo, io, ko
+        return tuple(outs)
 
     def run_bwd(tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f, cot_f,
                 ext=None):
@@ -466,7 +490,10 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         else:
             tables, f_res, istate_f, keys_f, pix_f, sb_f, t_f = res
             ext = None
-        cot_f, _cot_i, _cot_k = cots
+        # the img output's cotangent (when present) is structurally zero:
+        # its only consumers are the integer texel selection and the
+        # (nearest-neighbor, piecewise-constant) uv quantization
+        cot_f, _cot_i, _cot_k = cots[:3]
         d_f, d_ext, d_flat = run_bwd(tables, f_res, istate_f, keys_f, pix_f,
                                      sb_f, t_f, cot_f, ext)
         # NOTE: no extra pass-through for the sum/nvalid/rays rows excluded
@@ -521,12 +548,11 @@ def can_fuse_ad(scene: T.SceneData) -> bool:
 def can_fuse_ad_ext(scene: T.SceneData, for_tpu: bool = True) -> bool:
     """Hybrid-ext AD eligibility: the step kernel handles the in-SMEM
     types, the big sphere/triangle sets come in through the differentiable
-    culled flash kernels. Image scenes are excluded (the AD step has no
-    texel-deferral machinery yet — they stay on the packed XLA scan)."""
+    culled flash kernels, and image texels are deferred to an XLA multiply
+    between steps (hybrid.can_hybrid's sphere-image gate applies)."""
     from miniraytracer_tpu.ops import hybrid as H
 
-    return (not B.can_fuse(scene) and H.can_hybrid(scene, for_tpu)
-            and not scene.has_image)
+    return not B.can_fuse(scene) and H.can_hybrid(scene, for_tpu)
 
 
 def _ext_accel_d(scene: T.SceneData):
@@ -600,15 +626,25 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
         t_t, i_t = flash.flash_tri_hit_culled_d(
             cull_t, coeffs_t, nan3, nand, rays.inside, tmin)
 
-    # big box sets: XLA sweep (differentiable as-is)
+    # big box sets: XLA sweep — differentiable, under jax.checkpoint: its
+    # (faces x boxes x lanes) intermediates stacked over the scan OOM HBM
+    # (measured 195 GB for book2's 400 boxes at 500x500); recomputing the
+    # sweep in the backward costs one extra forward pass of ~60 flops/test
     _, _, ext_box = H._ext_types(scene)
     t_b = inf
     i_b = jnp.zeros((n,), jnp.int32)
     if ext_box:
-        tmax0 = jnp.full((n,), INFv)
-        t_b, i_b = ix._chunked_min(
-            lambda s, c: ix.box_ts(scene, rays, s, c, tmin, tmax0),
-            scene.n_boxes, n)
+        def _box_sweep(scene, rox, roy, roz, rdx, rdy, rdz, time_, inside_):
+            rays2 = ix.Rays(ro=V3(rox, roy, roz), rd=V3(rdx, rdy, rdz),
+                            time=time_, inside=inside_)
+            tmax0 = jnp.full((n,), INFv)
+            return ix._chunked_min(
+                lambda s, c: ix.box_ts(scene, rays2, s, c, tmin, tmax0),
+                scene.n_boxes, n)
+
+        t_b, i_b = jax.checkpoint(_box_sweep)(
+            scene, rays.ro.x, rays.ro.y, rays.ro.z, rays.rd.x, rays.rd.y,
+            rays.rd.z, rays.time, rays.inside)
         t_b = jnp.where(alive & jnp.isfinite(t_b), t_b, INFv)
 
     t_s = jnp.where(jnp.isfinite(t_s) & alive, t_s, INFv)
@@ -693,6 +729,8 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
 
         meta_d, tables = H.pack_scene_hybrid(scene)
         ext_accel = _ext_accel_d(scene)
+        if meta_d["image"]:
+            img_h, img_w = H._image_dims(scene)
     else:
         meta_d, tables = B.pack_scene(scene)
     meta = tuple(sorted(meta_d.items()))
@@ -763,8 +801,35 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
                 ix.Rays(ro=ro, rd=rd, time=time, inside=inside),
                 alive, B.TMIN)
             ext = jnp.stack([r.reshape(r128, 128) for r in er])
-            f, i, k = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
-                           f, i, k, pix_f, sb_f, t_f, ext)
+            out = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
+                       f, i, k, pix_f, sb_f, t_f, ext)
+            if meta_d["image"]:
+                f, i, k, img = out
+                # deferred texel: beta *= image albedo for pending lanes
+                # (hybrid._apply_image_albedo on the AD fstate layout; the
+                # multiply is a plain XLA op between custom-VJP steps, so
+                # JAX chains its beta cotangent automatically — the texel
+                # itself is a non-TrainParams constant)
+                iid = img[0]
+                pend = iid >= 0.0
+                idx = jnp.where(pend, iid, 0.0).astype(jnp.int32)
+                u = 0.5 - jnp.arctan2(img[3], img[1]) / (2.0 * np.pi)
+                v = 0.5 + jnp.arcsin(
+                    jnp.clip(img[2], -1.0, 1.0)) / np.pi
+                h = jnp.zeros_like(iid)
+                w = jnp.zeros_like(iid)
+                for kk in range(img_h.shape[0]):
+                    h = jnp.where(idx == kk, img_h[kk], h)
+                    w = jnp.where(idx == kk, img_w[kk], w)
+                from miniraytracer_tpu.models.textures import image_sample
+
+                texel = image_sample(scene, idx, h, w, u, v)
+                for r, comp in zip(range(A_BETA, A_BETA + 3),
+                                   (texel.x, texel.y, texel.z)):
+                    f = f.at[r].set(
+                        jnp.where(pend, f[r] * comp, f[r]))
+            else:
+                f, i, k = out
             return (f, i, k), None
     else:
         def body(carry, t_f):

@@ -249,3 +249,76 @@ def test_fused_ad_ext_grads_match_packed(_interpret_flash):
     # the whole point: triangle-geometry gradients flow through the
     # external kernels
     assert np.abs(np.asarray(gx.tri_m)).max() > 0
+
+
+def _ext_img_scene():
+    """_ext_tri_scene + an image-textured sphere (earth-class): exercises
+    the deferred-texel path of the hybrid-ext AD step."""
+    b = SceneBuilder()
+    b.name = "ext_img_scene"
+    b.set_camera([0, 2, 6], [0, 0.8, 0], [0, 1, 0], 45.0, 1.0,
+                 aperture=0.0, focus_dist=6.0, t0=0.0, t1=0.0)
+    b.xz_rect(-4, 4, -4, 4, 0.0, b.lambertian(b.tex_const([0.4, 0.4, 0.4])))
+    rs = np.random.RandomState(1)
+    img = (rs.rand(8, 16, 3) * 255).astype(np.uint8)
+    b.sphere([0, 1.6, -0.5], 0.7, b.lambertian(b.tex_image(img)))
+    red = b.lambertian(b.tex_const([0.7, 0.3, 0.3]))
+    for gx in range(9):
+        for gz in range(9):
+            x0, z0 = -1.8 + gx / 3.0, -1.8 + gz / 3.0
+            y = 0.3 + 0.1 * rs.rand()
+            a = [x0, y, z0]
+            c = [x0 + 0.3, y, z0]
+            d = [x0, y + 0.2, z0 + 0.3]
+            b.triangle(a, c, d, red)
+    lm = b.diffuse_light(b.tex_const([1.0, 1.0, 1.0]), 6.0)
+    ls = b.xz_rect(-0.8, 0.8, -0.8, 0.8, 4.0, lm)
+    b.add_light(ls)
+    b.use_sky = True
+    return b.build()
+
+
+@pytest.mark.slow
+def test_fused_ad_ext_image_matches_packed(_interpret_flash):
+    """Forward + gradient parity for the deferred-texel (image) ext path."""
+    scene = _ext_img_scene()
+    assert scene.has_image
+    assert bounce_ad.can_fuse_ad_ext(scene, for_tpu=False)
+    W = H = 10
+    spp, B = 2, 4
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sum_x, nv_x, done = _fold_packed(scene, pix, spp, W, H, B, steps)
+    assert bool(done.all())
+    sum_f, nv_f, _ = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H, max_bounces=B,
+        scan_steps=steps, interpret=True, use_ext=True)
+    np.testing.assert_array_equal(np.asarray(nv_f), np.asarray(nv_x))
+    d = np.abs(np.stack([sum_f.x, sum_f.y, sum_f.z], -1)
+               - np.asarray(sum_x)).max()
+    assert d < 1e-5, f"max sum diff {d}"
+
+    params = extract_params(scene)
+    target = jnp.full((W * H, 3), 0.25, jnp.float32)
+
+    def loss_ext(params):
+        sc = apply_params(scene, params)
+        summ, nv, _ = bounce_ad.sample_pixel_sums_fused(
+            sc, pix, 0, spp, width=W, height=H, max_bounces=B,
+            scan_steps=steps, interpret=True, use_ext=True)
+        mean = (jnp.stack([summ.x, summ.y, summ.z], -1)
+                / jnp.maximum(nv, 1.0)[:, None])
+        err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+        return jnp.sum(err * err)
+
+    lf, gf = jax.value_and_grad(loss_ext)(params)
+    lx, gx = jax.value_and_grad(_loss_packed)(
+        params, scene, pix, spp, W, H, B, steps, target)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for name in params._fields:
+        a = np.asarray(getattr(gf, name))
+        b = np.asarray(getattr(gx, name))
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"TrainParams.{name} cotangent mismatch (ext image)")
