@@ -1622,6 +1622,17 @@ def _tri_bwd(res, cot):
     (c_det, c_uu, c_vv, c_tn), ro, rd, t, idx = res
     gt, _ = cot  # winner index is discrete
     hit = t < INF * 0.5
+    # non-hit lanes contribute exactly zero, but their residual state may be
+    # NaN (the callers pass NaN-masked origins for dead lanes) and their
+    # winner index is the miss placeholder 0 — without masking, the
+    # 0-weight x NaN-feature products scatter NaN into primitive row 0's
+    # cotangent (measured: book2's ext-AD grads_finite=False on-chip).
+    # Mask the PRIMALS so every downstream product is finite; the returned
+    # d_ro/d_rd for non-hit lanes are genuinely zero (no continuous
+    # dependence), so this is the true gradient, not an approximation.
+    ro = V3(*(jnp.where(hit, c, 0.0) for c in (ro.x, ro.y, ro.z)))
+    rd = V3(*(jnp.where(hit, c, 1.0) for c in (rd.x, rd.y, rd.z)))
+    idx = jnp.where(hit, idx, 0)
     f, feat_vjp = jax.vjp(ray_features, ro, rd)  # f: (16, N)
     rows_det = _rows_at(c_det, idx)  # (N, 16)
     rows_tn = _rows_at(c_tn, idx)
@@ -1658,6 +1669,13 @@ def _sph_bwd(res, cot):
     (cb, cc), ro, rd, time, t, idx = res
     gt, _ = cot
     hit = t < INF * 0.5
+    # mask NaN residuals / miss-placeholder winner index off the non-hit
+    # lanes (see _tri_bwd): 0-weight x NaN-feature otherwise scatters NaN
+    # into row 0's cotangent and d_time
+    ro = V3(*(jnp.where(hit, c, 0.0) for c in (ro.x, ro.y, ro.z)))
+    rd = V3(*(jnp.where(hit, c, 1.0) for c in (rd.x, rd.y, rd.z)))
+    time = jnp.where(hit, time, 0.0)
+    idx = jnp.where(hit, idx, 0)
     f, feat_vjp = jax.vjp(sphere_ray_features, ro, rd, time)
     rows_b = _rows_at(cb, idx)
     rows_c = _rows_at(cc, idx)

@@ -619,3 +619,57 @@ def test_scene_hit_with_culled_accel_matches_plain():
     )
     # material ids must match (correct surface attribution incl. seed ties)
     assert (np.asarray(rec1.mat)[both] == np.asarray(rec0.mat)[both]).mean() > 0.99
+
+
+def test_custom_vjp_nan_lanes_stay_out_of_gradients(monkeypatch):
+    """Dead lanes (NaN-masked origins, the ext-AD convention) and miss
+    lanes carry the placeholder winner index 0 — their 0-weight x
+    NaN-feature products must NOT scatter NaN into primitive row 0's
+    cotangent (regression: book2's on-chip ext-AD grads were non-finite)."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+
+    monkeypatch.setattr(flash, "flash_sphere_hit",
+                        partial(flash.flash_sphere_hit, interpret=True))
+    monkeypatch.setattr(flash, "flash_tri_hit",
+                        partial(flash.flash_tri_hit, interpret=True))
+    sph_scene = random_spheres(1.0)
+    tri_scene = triangles(1.0)
+    rng = np.random.default_rng(11)
+    n = 256
+    ro, rd = _rand_rays(rng, n, -12, 12)
+    NAN = jnp.float32(np.nan)
+    # half the lanes dead: NaN origins/directions (never hit anything)
+    dead = jnp.asarray(np.arange(n) >= n // 2)
+    ro = V3(*(jnp.where(dead, NAN, c) for c in (ro.x, ro.y, ro.z)))
+    rd = V3(*(jnp.where(dead, NAN, c) for c in (rd.x, rd.y, rd.z)))
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    inside = jnp.zeros((n,), jnp.int32)
+
+    def loss_sph(c0, rad, t_in):
+        sc = dataclasses.replace(sph_scene, sph_c0=c0, sph_radius=rad)
+        coeffs = flash.sphere_coefficients(sc)
+        t, _ = flash.flash_sphere_hit_d(coeffs, ro, rd, t_in, inside, ix.TMIN)
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    gc0, grad_, gtime = jax.grad(loss_sph, argnums=(0, 1, 2))(
+        sph_scene.sph_c0, sph_scene.sph_radius, time)
+    for g in (gc0, grad_, gtime):
+        assert np.isfinite(np.asarray(g)).all()
+    # live lanes still produce signal
+    assert np.abs(np.asarray(gc0)).max() > 0
+
+    def loss_tri(tri_m):
+        sc = dataclasses.replace(tri_scene, tri_m=tri_m)
+        m = V3(sc.tri_m[:, 0], sc.tri_m[:, 1], sc.tri_m[:, 2])
+        u = V3(sc.tri_u[:, 0], sc.tri_u[:, 1], sc.tri_u[:, 2])
+        v = V3(sc.tri_v[:, 0], sc.tri_v[:, 1], sc.tri_v[:, 2])
+        coeffs = flash.tri_coefficients(m, u, v, sc.tri_active)
+        t, _ = flash.flash_tri_hit_d(coeffs, ro, rd, inside, ix.TMIN)
+        return jnp.sum(jnp.where(t < 1e38, t, 0.0))
+
+    gtm = np.asarray(jax.grad(loss_tri)(tri_scene.tri_m))
+    assert np.isfinite(gtm).all()
+    assert np.abs(gtm).max() > 0
