@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from miniraytracer_tpu.ops.vecmath import V3
+from miniraytracer_tpu.ops.vecmath import V3, vasin, vatan2
 from miniraytracer_tpu.scene import types as T
 
 try:
@@ -114,6 +114,10 @@ def pack_scene(scene: T.SceneData):
         exact_cosine=bool(scene.exact_cosine),
         perlin=bool(scene.has_perlin),
         image=bool(scene.has_image),
+        # static texel-table dims: the kernel computes the NN texel index
+        # in-kernel (flat into images.reshape(-1)); (0, 0) when imageless
+        img_hw=(tuple(int(d) for d in scene.images.shape[1:3])
+                if scene.has_image else (0, 0)),
     )
     sph = jnp.concatenate([
         scene.sph_c0.reshape(-1), scene.sph_c1.reshape(-1),
@@ -360,11 +364,12 @@ def _turbulence(ptab_ref, p: V3):
 class BounceOut:
     """Physics outputs for one bounce (all (rows, 128) lane tiles).
 
-    `img_id` is None unless meta["image"]: the winner's image-texture id
-    (-1 = not an image hit) — the caller fetches the texel OUTSIDE the
-    kernel (uv reconstructed from `nrm`, which for spheres equals the
-    reference's (p-c)/radius uv argument, sphere.cpp:6-11) and multiplies
-    it into the path throughput; the kernel shades with albedo == 1."""
+    `img_id` is None unless meta["image"]: the winner's FLAT texel index
+    into scene.images.reshape(-1) (-1 = not an image hit) — uv trig +
+    NN quantization run in-kernel on `nrm` (for spheres the reference's
+    (p-c)/radius uv argument, sphere.cpp:6-11; texture.cpp:207-225), so
+    the caller does one XLA gather and multiplies the texel into the
+    path throughput; the kernel shades with albedo == 1."""
 
     __slots__ = ("hit", "safe_t", "p", "nrm", "emitted", "is_light", "is_iso",
                  "is_specular", "weight", "new_rd", "new_inside", "img_id")
@@ -715,11 +720,14 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
                          V3(turb, turb, turb), albedo)
     img_id = None
     if meta["image"]:
-        # image texel fetched OUTSIDE the kernel (the table is far
-        # beyond the lane-gather width): shade with albedo 1, report
-        # the winner's image id; the caller multiplies the texel
-        # into beta (albedo enters the weight multiplicatively, and
-        # image materials never emit in the supported scene set)
+        # image texel fetched OUTSIDE the kernel (the texel table is far
+        # beyond the lane-gather width): shade with albedo 1 and report
+        # the winner's FLAT TEXEL INDEX — the full uv trig + the
+        # reference's NN clamp/flip quantization (sphere.cpp:6-11,
+        # texture.cpp:207-225) runs in-kernel, so the caller does ONE
+        # XLA gather + beta multiply between steps (the previous
+        # id+normal handoff cost ~1.3 ms of XLA atan2/asin per 250k
+        # lanes plus the select glue, ~2/3 of earth's albedo phase)
         iid = jnp.zeros_like(safe_t)
         for xi in range(X):
             iid = jnp.where(tex_id == xi, tex_ref[8 * X + xi], iid)
@@ -732,7 +740,33 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
         uses_albedo = ((mtype != float(T.MAT_DIELECTRIC))
                        & (mtype != float(T.MAT_DIFFUSE_LIGHT)))
         is_img = (ttype == float(T.TEX_IMAGE)) & uses_albedo
-        img_id = jnp.where(is_img, iid, -1.0)
+        # uv from the winner normal, via the shared cephes-poly trig
+        # (vecmath.vatan2/vasin — Mosaic has no atan2/asin lowering, and
+        # sphere_record uses the SAME functions so texel quantization is
+        # bit-identical across renderers). Pullback-safe: the uv chain
+        # ends in an integer quantization whose cotangent is zero, and
+        # the polys mint no 0 x inf NaN to poison w_n's OTHER consumers
+        # (arcsin's double-where guards its |y| == 1 pullback).
+        phi = vatan2(w_n.z, w_n.x)
+        ny_c = jnp.clip(w_n.y, -1.0, 1.0)
+        at_pole = jnp.abs(ny_c) >= 1.0
+        half_pi = jnp.float32(jnp.pi / 2)
+        theta = jnp.where(
+            at_pole, jnp.where(ny_c > 0, half_pi, -half_pi),
+            vasin(jnp.where(at_pole, 0.0, ny_c)))
+        u = 0.5 - phi / (2.0 * jnp.pi)
+        v = 0.5 + theta / jnp.pi
+        # image dims ride the texture's c1 rows (builder stash)
+        hs = jnp.where(is_img, c1.x, 1.0)
+        ws = jnp.where(is_img, c1.y, 1.0)
+        ti = jnp.minimum(jnp.maximum((u * ws).astype(jnp.int32), 0),
+                         ws.astype(jnp.int32) - 1)
+        tj = jnp.minimum(jnp.maximum(((1.0 - v) * hs).astype(jnp.int32), 0),
+                         hs.astype(jnp.int32) - 1)
+        ih, iw = meta["img_hw"]
+        flat = (iid.astype(jnp.int32) * (ih * iw) + tj * iw
+                + ti).astype(jnp.float32)
+        img_id = jnp.where(is_img, flat, -1.0)
         ones_alb = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
                       jnp.ones_like(safe_t))
         albedo = _vwhere(is_img, ones_alb, albedo)

@@ -190,15 +190,16 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
              out_alive, nvalid, rays_ct)
     i_out = (count, out_inside, out_depth)
     if meta["image"]:
-        # pending image-albedo rows (hybrid deferral, ops/hybrid.py:296-303):
-        # the kernel shades image lanes with albedo 1; the caller multiplies
-        # the texel into the lane's beta between steps. Only CONTINUING
-        # lanes carry a pending id (a finished lane's beta is never used —
-        # trace()'s depth-cap branch returns emitted only; regen lanes are
-        # a subset of finished ones).
+        # pending image-albedo row (hybrid deferral): the kernel shades
+        # image lanes with albedo 1 and reports the flat texel index
+        # (bounce_physics does the uv trig + NN quantization in-kernel);
+        # the caller gathers the texel and multiplies it into the lane's
+        # beta between steps. Only CONTINUING lanes carry a pending index
+        # (a finished lane's beta is never used — trace()'s depth-cap
+        # branch returns emitted only; regen lanes are a subset of
+        # finished ones).
         none = jnp.full_like(safe_t, -1.0)
-        img_out = (jnp.where(cont, b.img_id, none),
-                   b.nrm.x, b.nrm.y, b.nrm.z)
+        img_out = (jnp.where(cont, b.img_id, none),)
         return f_out, i_out, out_keys, img_out
     return f_out, i_out, out_keys, None
 
@@ -327,8 +328,9 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
                 meta, width, height, sq_off, max_bounces, spp, claim_limit,
                 tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys,
                 ext=ext)
-            # _img carries structurally-zero cotangents (its only consumers
-            # are integer texel selections) — excluded from the pullback
+            # _img carries a structurally-zero cotangent (its only
+            # consumer is the integer texel gather) — excluded from the
+            # pullback
             return f_out
 
         cot_f = tuple(cf_ref[r] for r in range(NF))
@@ -400,8 +402,8 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         misc = jnp.stack([t_f])
         ext_in = [ext] if use_ext else []
         ext_spec = [spec3(NE)] if use_ext else []
-        img_outspec = [spec3(4)] if has_img else []
-        img_outshape = ([jax.ShapeDtypeStruct((4, r128, 128), jnp.float32)]
+        img_outspec = [spec3(1)] if has_img else []
+        img_outshape = ([jax.ShapeDtypeStruct((1, r128, 128), jnp.float32)]
                         if has_img else [])
         outs = pl.pallas_call(
             fwd_kernel,
@@ -729,8 +731,6 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
 
         meta_d, tables = H.pack_scene_hybrid(scene)
         ext_accel = _ext_accel_d(scene)
-        if meta_d["image"]:
-            img_h, img_w = H._image_dims(scene)
     else:
         meta_d, tables = B.pack_scene(scene)
     meta = tuple(sorted(meta_d.items()))
@@ -806,26 +806,12 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
             if meta_d["image"]:
                 f, i, k, img = out
                 # deferred texel: beta *= image albedo for pending lanes
-                # (hybrid._apply_image_albedo on the AD fstate layout; the
-                # multiply is a plain XLA op between custom-VJP steps, so
-                # JAX chains its beta cotangent automatically — the texel
-                # itself is a non-TrainParams constant)
-                iid = img[0]
-                pend = iid >= 0.0
-                idx = jnp.where(pend, iid, 0.0).astype(jnp.int32)
-                u = 0.5 - jnp.arctan2(img[3], img[1]) / (2.0 * np.pi)
-                v = 0.5 + jnp.arcsin(
-                    jnp.clip(img[2], -1.0, 1.0)) / np.pi
-                h = jnp.zeros_like(iid)
-                w = jnp.zeros_like(iid)
-                for kk in range(img_h.shape[0]):
-                    h = jnp.where(idx == kk, img_h[kk], h)
-                    w = jnp.where(idx == kk, img_w[kk], w)
-                from miniraytracer_tpu.models.textures import image_sample
-
-                texel = image_sample(scene, idx, h, w, u, v)
-                for r, comp in zip(range(A_BETA, A_BETA + 3),
-                                   (texel.x, texel.y, texel.z)):
+                # (the kernel reports the flat texel index; one XLA gather.
+                # The multiply is a plain XLA op between custom-VJP steps,
+                # so JAX chains its beta cotangent automatically — the
+                # texel itself is a non-TrainParams constant)
+                pend, comps = H._texel_rgb(scene, img[0])
+                for r, comp in zip(range(A_BETA, A_BETA + 3), comps):
                     f = f.at[r].set(
                         jnp.where(pend, f[r] * comp, f[r]))
             else:

@@ -20,11 +20,12 @@ large primitive sets stay in the dedicated flash cluster kernels:
          material dispatch + MIS light sampling + draw2 merge + lane
          regeneration (bounce.wave_step -- the same code the fused kernel
          loops in-kernel)
-      4. image-texture lanes (reference texture.cpp:207-225) deferred the
-         texel fetch: the kernel shades with albedo 1 and reports the
-         winner's image id; an XLA gather multiplies the texel into beta
-         (uv reconstructed from the winner normal == (p-c)/radius, the
-         exact argument of the reference's get_sphere_uv, sphere.cpp:6-11)
+      4. image-texture lanes (reference texture.cpp:207-225) defer only
+         the texel FETCH: the kernel shades with albedo 1, computes the
+         uv trig on the winner normal (== (p-c)/radius, the exact
+         argument of the reference's get_sphere_uv, sphere.cpp:6-11) and
+         the NN clamp/flip quantization IN-KERNEL, and reports the flat
+         texel index; one XLA gather multiplies the texel into beta
 
 Estimator-identical to integrator.render_wavefront_pixels (same
 counter-keyed RNG, merge, NaN/clamp policy); covers the scene classes the
@@ -299,8 +300,7 @@ def _make_step_kernel(meta, width, height, sq, max_bounces, image):
             # only CONTINUING lanes carry a pending image albedo (finished
             # lanes at the depth cap return emitted only -- the albedo is
             # never used, matching trace()'s depth-cap branch)
-            imgo_ref[:] = jnp.stack([
-                jnp.where(cont, b.img_id, none), b.nrm.x, b.nrm.y, b.nrm.z])
+            imgo_ref[:] = jnp.stack([jnp.where(cont, b.img_id, none)])
 
     return kernel
 
@@ -328,8 +328,8 @@ def _step_call(meta, tables, fstate, istate, keys, rays_ct, pix, ext, misc,
     ]
     out_specs = [spec3(NF), spec3(NI), spec2, spec2]
     if image:
-        out_shape.append(jax.ShapeDtypeStruct((4, r128, 128), jnp.float32))
-        out_specs.append(spec3(4))
+        out_shape.append(jax.ShapeDtypeStruct((1, r128, 128), jnp.float32))
+        out_specs.append(spec3(1))
     res = pl.pallas_call(
         kernel,
         grid=(r128 // BLOCK_ROWS,),
@@ -407,8 +407,7 @@ def _make_shade_kernel(meta, image):
         if image:
             (imgo_ref,) = img_refs
             none = jnp.full_like(b.safe_t, -1.0)
-            imgo_ref[:] = jnp.stack([
-                jnp.where(cont, b.img_id, none), b.nrm.x, b.nrm.y, b.nrm.z])
+            imgo_ref[:] = jnp.stack([jnp.where(cont, b.img_id, none)])
 
     return kernel
 
@@ -433,8 +432,8 @@ def _shade_call(meta, tables, fstate, istate, keys_b, ext, *, image,
     ]
     out_specs = [spec3(SO_NF), spec2]
     if image:
-        out_shape.append(jax.ShapeDtypeStruct((4, r128, 128), jnp.float32))
-        out_specs.append(spec3(4))
+        out_shape.append(jax.ShapeDtypeStruct((1, r128, 128), jnp.float32))
+        out_specs.append(spec3(1))
     res = pl.pallas_call(
         kernel,
         grid=(r128 // BLOCK_ROWS,),
@@ -466,7 +465,6 @@ def make_workqueue_shader(scene, interpret=False):
     meta = tuple(sorted(meta_d.items()))
     image = meta_d["image"]
     accel = hybrid_accel(scene, interpret)
-    img_h, img_w = _image_dims(scene) if image else (None, None)
     tables = tuple(tables)
 
     def shader(rays, keys_b, depth_ok, alive, beta, radiance):
@@ -492,21 +490,8 @@ def make_workqueue_shader(scene, interpret=False):
             meta, tables, fstate, istate, kb, ext, image=image,
             interpret=interpret)
         if image:
-            iid = img_out[0]
-            pend = iid >= 0.0
-            idx = jnp.where(pend, iid, 0.0).astype(jnp.int32)
-            u = 0.5 - jnp.arctan2(img_out[3], img_out[1]) / (2.0 * np.pi)
-            v = 0.5 + jnp.arcsin(jnp.clip(img_out[2], -1.0, 1.0)) / np.pi
-            from miniraytracer_tpu.models.textures import image_sample
-
-            h = jnp.zeros_like(iid)
-            w = jnp.zeros_like(iid)
-            for k in range(img_h.shape[0]):
-                h = jnp.where(idx == k, img_h[k], h)
-                w = jnp.where(idx == k, img_w[k], w)
-            texel = image_sample(scene, idx, h, w, u, v)
-            for r, comp in zip(range(SO_BETA, SO_BETA + 3),
-                               (texel.x, texel.y, texel.z)):
+            pend, comps = _texel_rgb(scene, img_out[0])
+            for r, comp in zip(range(SO_BETA, SO_BETA + 3), comps):
                 f_out = f_out.at[r].set(
                     jnp.where(pend, f_out[r] * comp, f_out[r]))
         out = lambda r: f_out[r].reshape(-1)[:n]
@@ -526,44 +511,27 @@ def make_workqueue_shader(scene, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _image_dims(scene):
-    """(img_id -> (h, w)) columns from the texture table (the builder
-    stashes dims in tex_c1, scene/builder.py). Traced-safe: the texture
-    count is static, values may be tracers (called under jit)."""
-    n_img = int(scene.images.shape[0]) if scene.has_image else 0
-    n = max(n_img, 1)
-    ids = jnp.arange(n)
-    h = jnp.zeros((n,), jnp.float32)
-    w = jnp.zeros((n,), jnp.float32)
-    for xi in range(scene.tex_type.shape[0]):
-        sel = (scene.tex_type[xi] == T.TEX_IMAGE) & (ids == scene.tex_img[xi])
-        h = jnp.where(sel, scene.tex_c1[xi, 0], h)
-        w = jnp.where(sel, scene.tex_c1[xi, 1], w)
-    return h, w
+def _texel_rgb(scene, idxf):
+    """(pend mask, (r, g, b)) from the kernel's flat texel index rows.
+
+    The kernel already did the uv trig + NN clamp/flip quantization
+    in-kernel (bounce_physics, texture.cpp:207-225); what's left is ONE
+    u32 gather and the 0x00RRGGBB unpack."""
+    pend = idxf >= 0.0
+    idx = jnp.where(pend, idxf, 0.0).astype(jnp.int32)
+    texel = scene.images.reshape(-1)[idx]
+    inv255 = jnp.float32(1.0 / 255.0)
+    return pend, (
+        ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
+        ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
+        (texel & 0xFF).astype(jnp.float32) * inv255,
+    )
 
 
-def _apply_image_albedo(scene, img_h, img_w, fstate, img_out):
-    """beta *= image texel for lanes with a pending image hit.
-
-    uv from the winner normal (== (p-c)/radius): the reference's
-    get_sphere_uv inputs (sphere.cpp:6-11, texture.cpp:207-225)."""
-    from miniraytracer_tpu.models.textures import image_sample
-
-    iid = img_out[0]
-    nx, ny, nz = img_out[1], img_out[2], img_out[3]
-    pend = iid >= 0.0
-    idx = jnp.where(pend, iid, 0.0).astype(jnp.int32)
-    u = 0.5 - jnp.arctan2(nz, nx) / (2.0 * np.pi)
-    v = 0.5 + jnp.arcsin(jnp.clip(ny, -1.0, 1.0)) / np.pi
-    # tiny static table (1-2 images): where-chain, no gather
-    h = jnp.zeros_like(iid)
-    w = jnp.zeros_like(iid)
-    for k in range(img_h.shape[0]):
-        h = jnp.where(idx == k, img_h[k], h)
-        w = jnp.where(idx == k, img_w[k], w)
-    texel = image_sample(scene, idx, h, w, u, v)
-    for r, comp in zip(range(B.R_BETA, B.R_BETA + 3),
-                       (texel.x, texel.y, texel.z)):
+def _apply_image_albedo(scene, fstate, img_out):
+    """beta *= image texel for lanes with a pending image hit."""
+    pend, comps = _texel_rgb(scene, img_out[0])
+    for r, comp in zip(range(B.R_BETA, B.R_BETA + 3), comps):
         fstate = fstate.at[r].set(
             jnp.where(pend, fstate[r] * comp, fstate[r]))
     return fstate
@@ -583,7 +551,6 @@ def render_wavefront_hybrid_pixels(scene, pix, sample_lo, n_samples, max_lum,
     image = meta_d["image"]
     if accel is None:
         accel = hybrid_accel(scene, interpret)
-    img_h, img_w = _image_dims(scene) if image else (None, None)
 
     n = pix.shape[0]
     rem = (-n) % (BLOCK_ROWS * 128)
@@ -642,7 +609,7 @@ def render_wavefront_hybrid_pixels(scene, pix, sample_lo, n_samples, max_lum,
             misc, width=width, height=height, sq=spp_sq,
             max_bounces=max_bounces, image=image, interpret=interpret)
         if image:
-            fstate = _apply_image_albedo(scene, img_h, img_w, fstate, img_out)
+            fstate = _apply_image_albedo(scene, fstate, img_out)
         return fstate, istate, keys, rays_ct
 
     def cond(carry):

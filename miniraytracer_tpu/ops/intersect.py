@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from miniraytracer_tpu.ops import vecmath as vm
 from miniraytracer_tpu.ops.lookup import lookup_cols
-from miniraytracer_tpu.ops.vecmath import V3, vdot, vsdot, vnormalize, vwhere
+from miniraytracer_tpu.ops.vecmath import (V3, vasin, vatan2, vdot, vsdot,
+                                            vnormalize, vwhere)
 from miniraytracer_tpu.scene import types as T
 
 INF = jnp.float32(3.0e38)
@@ -187,15 +188,18 @@ def sphere_record(scene: T.SceneData, rays: Rays, t, idx):
     # it bounds the garbage magnitude so downstream masked branches can't
     # overflow to inf and poison gradients under fusion
     n = vnormalize(n)
-    # spherical uv on the normal (sphere.cpp:6-11); arcsin's backward is inf
-    # at |y|=1 (poles) — double-where keeps the forward exact and grads finite
-    phi = jnp.arctan2(n.z, n.x)
+    # spherical uv on the normal (sphere.cpp:6-11); vatan2/vasin (cephes
+    # polys, ops/vecmath.py) — the ONLY inverse-trig implementation in the
+    # project, shared with the Pallas step kernels (Mosaic has no
+    # atan2/asin lowering) so texel quantization is bit-identical across
+    # renderers; pullback-safe at the poles by construction
+    phi = vatan2(n.z, n.x)
     ny = jnp.clip(n.y, -1.0, 1.0)
     at_pole = jnp.abs(ny) >= 1.0
     theta = jnp.where(
         at_pole,
         jnp.sign(ny) * (jnp.pi / 2),
-        jnp.arcsin(jnp.where(at_pole, 0.0, ny)),
+        vasin(jnp.where(at_pole, 0.0, ny)),
     )
     u = 0.5 - phi / (2.0 * jnp.pi)
     v = 0.5 + theta / jnp.pi

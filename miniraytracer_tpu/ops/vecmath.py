@@ -270,3 +270,52 @@ def onb_from_w(n: jnp.ndarray):
 def onb_local_to_world(u, v, w, vec):
     """onb * vec (onb.h:25-27): vec.x*u + vec.y*v + vec.z*w."""
     return vec[..., 0:1] * u + vec[..., 1:2] * v + vec[..., 2:3] * w
+
+
+# ---------------------------------------------------------------------------
+# Mosaic-safe inverse trig (Pallas TPU has no atan2/asin lowering).
+# Cephes atanf (odd minimax over three ranges); every renderer — XLA
+# wavefront (sphere_record), hybrid/fused step kernels, AD replay — uses
+# THESE so texel quantization is bit-identical across paths. Max abs error
+# vs libm ~1e-7 rad (well under one texel: 2pi/1024 ~ 6e-3).
+# Pullback-safe by construction: every division has a selected-away safe
+# denominator, so 0-cotangent lanes cannot mint NaN under jax.vjp replay.
+# ---------------------------------------------------------------------------
+
+
+def vatan(x):
+    """Elementwise arctan via cephes atanf range reduction + 4-term poly."""
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095  # tan(3pi/8)
+    mid = (ax > 0.4142135623730951) & ~big  # tan(pi/8)
+    safe_big = jnp.where(big, ax, 1.0)
+    x1 = jnp.where(big, -1.0 / safe_big,
+                   jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    y0 = jnp.where(big, jnp.float32(jnp.pi / 2),
+                   jnp.where(mid, jnp.float32(jnp.pi / 4), 0.0))
+    z = x1 * x1
+    p = ((((8.05374449538e-2 * z - 1.38776856032e-1) * z
+           + 1.99777106478e-1) * z - 3.33329491539e-1) * z * x1 + x1)
+    return jnp.sign(x) * (y0 + p)
+
+
+def vatan2(y, x):
+    """Elementwise atan2 with C quadrant semantics; (0, 0) -> 0."""
+    safe_x = jnp.where(x == 0.0, 1.0, x)
+    base = vatan(y / safe_x)
+    pi = jnp.float32(jnp.pi)
+    half = jnp.float32(jnp.pi / 2)
+    return jnp.where(
+        x > 0.0, base,
+        jnp.where(x < 0.0,
+                  jnp.where(y >= 0.0, base + pi, base - pi),
+                  jnp.where(y > 0.0, half,
+                            jnp.where(y < 0.0, -half, 0.0 * base))))
+
+
+def vasin(y):
+    """Elementwise arcsin on [-1, 1] via atan2(y, sqrt(1-y^2)); the 1e-30
+    floor keeps sqrt's pullback finite at |y| == 1 without moving the f32
+    forward value off +-pi/2."""
+    yc = jnp.clip(y, -1.0, 1.0)
+    return vatan2(yc, jnp.sqrt(jnp.maximum(1.0 - yc * yc, 1e-30)))
