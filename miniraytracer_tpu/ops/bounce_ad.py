@@ -602,6 +602,12 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
     n = rays.time.shape[0]
     NAN = H.NAN
     INFv = B.INF
+    if not accel and not H._ext_types(scene)[2]:
+        # no external types (earth-class: ext-AD solely for the image
+        # deferral) — constant miss record, nothing to differentiate
+        return (jnp.full((n,), INFv), jnp.ones((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32))
     nan3 = V3(jnp.where(alive, rays.ro.x, NAN),
               jnp.where(alive, rays.ro.y, NAN),
               jnp.where(alive, rays.ro.z, NAN))

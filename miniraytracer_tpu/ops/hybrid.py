@@ -166,6 +166,14 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
     from miniraytracer_tpu.ops import flash
 
     n = rays.time.shape[0]
+    if not accel and not _ext_types(scene)[2]:
+        # no external types at all (e.g. earth: hybrid solely for the
+        # image-texel deferral) — the candidate is the constant miss
+        # record; skip the NaN masking / assembly phase entirely
+        # (measured 1.45 ms per 250k-lane step as dead weight)
+        return (jnp.full((n,), INF), jnp.ones((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32))
     nan3 = V3(jnp.where(alive, rays.ro.x, NAN),
               jnp.where(alive, rays.ro.y, NAN),
               jnp.where(alive, rays.ro.z, NAN))
