@@ -63,7 +63,7 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
     step = make_train_step(mesh, width=width, height=height,
                            max_bounces=bounces, pack=pack,
                            spp_step=spp_step, fused_ad=fused,
-                           scan_steps=scan_steps)
+                           scan_steps=scan_steps, scene=scene)
     params = extract_params(scene)
     lr = jnp.float32(0.0)
 

@@ -570,6 +570,7 @@ def render_workqueue_pixels(
     max_bounces: int,
     pix_base=0,  # may be traced (sharded pixel ranges)
     sample_base=0,
+    plan=None,  # hybrid.smem_plan for ext-material scenes under jit
 ):
     """Whole-frame render with a GLOBAL work queue: the TPU equivalent of the
     reference's atomic tile counter (work_queue.cpp:133-175), at per-sample
@@ -637,7 +638,8 @@ def render_workqueue_pixels(
         # (ops/hybrid.make_workqueue_shader); claiming/merge stay XLA
         from miniraytracer_tpu.ops import hybrid as hybrid_mod
 
-        shader = hybrid_mod.make_workqueue_shader(scene, interpret=interpret)
+        shader = hybrid_mod.make_workqueue_shader(scene, interpret=interpret,
+                                                  plan=plan)
         accel = None
     else:
         shader = None
@@ -712,15 +714,15 @@ def render_workqueue_pixels(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
-                                   "n_lanes", "fused_shade"))
+                                   "n_lanes", "fused_shade", "plan"))
 def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces,
-                          n_lanes, fused_shade=False):
+                          n_lanes, fused_shade=False, plan=None):
     offs, ns = sample_offsets(spp)
     n_pix = width * height
     accum, count, rays = render_workqueue_pixels(
         scene, n_pix, n_lanes or n_pix, offs, ns, max_lum,
         width=width, height=height, max_bounces=max_bounces,
-        fused_shade=fused_shade,
+        fused_shade=fused_shade, plan=plan,
     )
     inv = 1.0 / jnp.maximum(count, 1.0)
     return (accum * inv).arr, rays
@@ -729,11 +731,11 @@ def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces,
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_bounces", "n_lanes",
-                     "chunk", "fused_shade"),
+                     "chunk", "fused_shade", "plan"),
 )
 def _render_workqueue_chunk_jit(scene, max_lum, base, *, width, height, spp,
                                 max_bounces, n_lanes, chunk,
-                                fused_shade=False):
+                                fused_shade=False, plan=None):
     """One sample-block [base, base+chunk) of a spp-stratified work-queue
     render (`base` is traced — all chunks share one compilation). Returns
     raw (accum (P,3), count (P,), rays) so the host can merge blocks (the
@@ -743,7 +745,7 @@ def _render_workqueue_chunk_jit(scene, max_lum, base, *, width, height, spp,
     accum, count, rays = render_workqueue_pixels(
         scene, n_pix, n_lanes or n_pix, offs, chunk, max_lum,
         width=width, height=height, max_bounces=max_bounces,
-        sample_base=base, fused_shade=fused_shade,
+        sample_base=base, fused_shade=fused_shade, plan=plan,
     )
     return accum.arr, count, rays
 
@@ -780,6 +782,12 @@ def render_workqueue(
         fused_shade = (hybrid_mod.can_hybrid(scene)
                        and not hybrid_mod._ext_types(scene)[2])
     fused_shade = bool(fused_shade)
+    plan = None
+    if fused_shade:
+        from miniraytracer_tpu.ops import hybrid as hybrid_mod
+
+        if hybrid_mod.ext_mat_mode(scene):
+            plan = hybrid_mod.smem_plan(scene)
 
     t0 = _time.perf_counter()
     if chunk and chunk < spp:
@@ -794,7 +802,7 @@ def render_workqueue(
                 scene, jnp.float32(max_lum), jnp.int32(base),
                 width=width, height=height, spp=spp,
                 max_bounces=max_bounces, n_lanes=n_lanes, chunk=nb,
-                fused_shade=fused_shade,
+                fused_shade=fused_shade, plan=plan,
             )
             # no per-chunk sync: dispatches queue back-to-back on the
             # device (a host round trip per chunk costs 30-90 ms over the
@@ -810,7 +818,7 @@ def render_workqueue(
         frame, rays = _render_workqueue_jit(
             scene, jnp.float32(max_lum),
             width=width, height=height, spp=spp, max_bounces=max_bounces,
-            n_lanes=n_lanes, fused_shade=fused_shade,
+            n_lanes=n_lanes, fused_shade=fused_shade, plan=plan,
         )
         frame.block_until_ready()
     elapsed = _time.perf_counter() - t0

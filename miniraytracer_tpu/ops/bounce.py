@@ -409,6 +409,7 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
     sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref, tex_ref = tabs
 
     # ---------------- scene_hit (inline, running-winner record) --------
+    ext_mat_rows = None
     if ext is None:
         best_t = jnp.full_like(time, INF)
         # winner record fields, updated whenever a candidate is better
@@ -416,7 +417,16 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
                  jnp.zeros_like(time))
         w_mat = jnp.zeros_like(inside)
     else:
-        ext_t, ext_nx, ext_ny, ext_nz, ext_mat = ext
+        if meta.get("ext_mat"):
+            # ext-material mode: the winner's material params were
+            # evaluated in XLA (hybrid._external_candidate) and ride five
+            # extra rows; mat_f is the sentinel -1 so the SMEM mat
+            # where-chain below never matches an ext lane
+            (ext_t, ext_nx, ext_ny, ext_nz, ext_mat,
+             em_type, em_param, em_ar, em_ag, em_ab) = ext
+            ext_mat_rows = (em_type, em_param, V3(em_ar, em_ag, em_ab))
+        else:
+            ext_t, ext_nx, ext_ny, ext_nz, ext_mat = ext
         best_t = ext_t
         w_n = V3(ext_nx, ext_ny, ext_nz)
         w_mat = ext_mat.astype(jnp.int32)
@@ -683,6 +693,10 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
     # miss-lane record sanitation (scene_hit does the same)
     w_n = _vwhere(hit, w_n, V3(jnp.ones_like(safe_t), jnp.zeros_like(safe_t),
                                jnp.zeros_like(safe_t)))
+    if ext_mat_rows is not None:
+        # the ext candidate seeded best_t and in-SMEM candidates replace
+        # only strictly (<), so equality identifies an ext winner
+        is_ext = hit & (best_t == ext_t)
 
     # ---------------- shade (materials.shade, exact slots) -------------
     # material row lookup (static where-chain over M)
@@ -740,6 +754,10 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
         uses_albedo = ((mtype != float(T.MAT_DIELECTRIC))
                        & (mtype != float(T.MAT_DIFFUSE_LIGHT)))
         is_img = (ttype == float(T.TEX_IMAGE)) & uses_albedo
+        if ext_mat_rows is not None:
+            # ext winners' albedo (image texels included) was evaluated
+            # in XLA and arrives via the override below — never deferred
+            is_img = is_img & ~is_ext
         # uv from the winner normal, via the shared cephes-poly trig
         # (vecmath.vatan2/vasin — Mosaic has no atan2/asin lowering, and
         # sphere_record uses the SAME functions so texel quantization is
@@ -770,6 +788,16 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
         ones_alb = V3(jnp.ones_like(safe_t), jnp.ones_like(safe_t),
                       jnp.ones_like(safe_t))
         albedo = _vwhere(is_img, ones_alb, albedo)
+
+    if ext_mat_rows is not None:
+        # ext-material override: type / param / final albedo for lanes
+        # whose winner is the external candidate (everything downstream —
+        # emission, specular classification, scatter sampling, MIS — then
+        # runs on the overridden values unchanged)
+        em_type, em_param, em_albedo = ext_mat_rows
+        mtype = jnp.where(is_ext, em_type, mtype)
+        mparam = jnp.where(is_ext, em_param, mparam)
+        albedo = _vwhere(is_ext, em_albedo, albedo)
 
     nrm = w_n
     is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)

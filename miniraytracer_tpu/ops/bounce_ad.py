@@ -210,11 +210,13 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
 
 
 NE = 5  # ext rows: t, nx, ny, nz, mat_f
+H_NE_MAT = 10  # + (mtype, mparam, albedo rgb) in ext-material mode
 
 
 def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit, use_ext=False):
     has_img = meta["image"]
+    ne = H_NE_MAT if meta.get("ext_mat") else NE
 
     def kernel(*refs):
         refs = list(refs)
@@ -223,7 +225,7 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
              tex_ref, cam_ref, ptab_ref, misc_ref, f_ref, i_ref, k_ref,
              pix_ref, sb_ref, ext_ref, fo_ref, io_ref, ko_ref) = refs
-            ext = tuple(ext_ref[r] for r in range(NE))
+            ext = tuple(ext_ref[r] for r in range(ne))
         else:
             (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
              tex_ref, cam_ref, ptab_ref, misc_ref, f_ref, i_ref, k_ref,
@@ -261,6 +263,7 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
 def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
                      claim_limit, lens, didx, n_diff, use_ext=False):
     perlin = meta["perlin"]
+    ne = H_NE_MAT if meta.get("ext_mat") else NE
 
     def kernel(*refs):
         if use_ext:
@@ -268,7 +271,7 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
              tex_ref, cam_ref, ptab_ref, misc_ref, fr_ref, i_ref, k_ref,
              pix_ref, sb_ref, ext_ref, cf_ref,
              dci_f_ref, dext_ref, dtab_ref) = refs
-            ext_in = tuple(ext_ref[r] for r in range(NE))
+            ext_in = tuple(ext_ref[r] for r in range(ne))
         else:
             (sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
              tex_ref, cam_ref, ptab_ref, misc_ref, fr_ref, i_ref, k_ref,
@@ -395,13 +398,14 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
                          memory_space=pltpu.VMEM)
 
     has_img = meta_d["image"]
+    n_ext = H_NE_MAT if meta_d.get("ext_mat") else NE
 
     def run_fwd(tables, fstate, istate_f, keys_f, pix_f, sb_f, t_f,
                 ext=None):
         r128 = fstate.shape[1]
         misc = jnp.stack([t_f])
         ext_in = [ext] if use_ext else []
-        ext_spec = [spec3(NE)] if use_ext else []
+        ext_spec = [spec3(n_ext)] if use_ext else []
         img_outspec = [spec3(1)] if has_img else []
         img_outshape = ([jax.ShapeDtypeStruct((1, r128, 128), jnp.float32)]
                         if has_img else [])
@@ -429,9 +433,10 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
         dtab_spec = pl.BlockSpec((1, n_diff), lambda b: (0, 0),
                                  memory_space=pltpu.SMEM)
         ext_in = [ext] if use_ext else []
-        ext_spec = [spec3(NE)] if use_ext else []
-        dext_outspec = [spec3(NE)] if use_ext else []
-        dext_outshape = ([jax.ShapeDtypeStruct((NE, r128, 128), jnp.float32)]
+        ext_spec = [spec3(n_ext)] if use_ext else []
+        dext_outspec = [spec3(n_ext)] if use_ext else []
+        dext_outshape = ([jax.ShapeDtypeStruct((n_ext, r128, 128),
+                                               jnp.float32)]
                          if use_ext else [])
         outs = pl.pallas_call(
             bwd_kernel,
@@ -679,30 +684,53 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
         zero = jnp.zeros_like(safe_t)
         nrm = V3(one, zero, zero)
         mat = jnp.zeros((n,), jnp.int32)
+        uu = zero
+        vv = zero
         if has_sph:
             idx_s = jnp.where(is_s & has, i_s, 0)
-            _, n_sph, _, _, m_sph = ix.sphere_record(scene, rays2, safe_t,
-                                                     idx_s)
+            _, n_sph, u_s, v_s, m_sph = ix.sphere_record(scene, rays2,
+                                                         safe_t, idx_s)
             nrm = vwhere(is_s, n_sph, nrm)
             mat = jnp.where(is_s, m_sph, mat)
+            uu = jnp.where(is_s, u_s, uu)
+            vv = jnp.where(is_s, v_s, vv)
         if has_tri:
             idx_t = jnp.where(is_t & has, i_t, 0)
-            _, n_tri, _, _, m_tri = ix.tri_record(scene, rays2, safe_t,
-                                                  idx_t)
+            _, n_tri, u_t, v_t, m_tri = ix.tri_record(scene, rays2, safe_t,
+                                                      idx_t)
             nrm = vwhere(is_t, n_tri, nrm)
             mat = jnp.where(is_t, m_tri, mat)
+            uu = jnp.where(is_t, u_t, uu)
+            vv = jnp.where(is_t, v_t, vv)
         if ext_box:
             idx_b = jnp.where(is_b & has, i_b, 0)
-            _, n_box, _, _, m_box = ix.box_record(scene, rays2, safe_t,
-                                                  idx_b)
+            _, n_box, u_b, v_b, m_box = ix.box_record(scene, rays2, safe_t,
+                                                      idx_b)
             nrm = vwhere(is_b, n_box, nrm)
             mat = jnp.where(is_b, m_box, mat)
+            uu = jnp.where(is_b, u_b, uu)
+            vv = jnp.where(is_b, v_b, vv)
         nx = jnp.where(has, nrm.x, one)
         ny = jnp.where(has, nrm.y, 0.0)
         nz = jnp.where(has, nrm.z, 0.0)
         ext_to = jnp.where(has, ext_t, INFv)
-        mat_f = jnp.where(has, mat, 0).astype(jnp.float32)
-        return ext_to, nx, ny, nz, mat_f
+        if not H.ext_mat_mode(scene):
+            mat_f = jnp.where(has, mat, 0).astype(jnp.float32)
+            return ext_to, nx, ny, nz, mat_f
+        # ext-material mode (hybrid._external_candidate): evaluate the
+        # winner's material/texture here, DIFFERENTIABLY — mat_param /
+        # tex_c0 / tex_c1 cotangents flow through the lookups and
+        # sample_texture back to TrainParams
+        from miniraytracer_tpu.models.textures import sample_texture
+        from miniraytracer_tpu.ops.lookup import lookup_cols
+
+        mt, mp, mtex = lookup_cols(
+            mat, (scene.mat_type, scene.mat_param, scene.mat_tex))
+        p2 = rays2.ro + rays2.rd * safe_t
+        albedo = sample_texture(scene, mtex, uu, vv, p2)
+        mat_f = jnp.full((n,), -1.0, jnp.float32)
+        return (ext_to, nx, ny, nz, mat_f, mt.astype(jnp.float32), mp,
+                albedo.x, albedo.y, albedo.z)
 
     return jax.checkpoint(_assemble)(
         scene, rays.ro.x, rays.ro.y, rays.ro.z, rays.rd.x, rays.rd.y,
@@ -711,7 +739,7 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
 
 def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
                             max_bounces, sq_off=8, scan_steps=0,
-                            interpret=False, use_ext=False):
+                            interpret=False, use_ext=False, pack_plan=None):
     """Differentiable (finite-radiance sum, valid count) per pixel over `spp`
     consecutive samples starting at `samp_base`, via the fused step kernels.
 
@@ -735,7 +763,7 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
     if use_ext:
         from miniraytracer_tpu.ops import hybrid as H
 
-        meta_d, tables = H.pack_scene_hybrid(scene)
+        meta_d, tables = H.pack_scene_hybrid(scene, pack_plan)
         ext_accel = _ext_accel_d(scene)
     else:
         meta_d, tables = B.pack_scene(scene)

@@ -43,8 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from miniraytracer_tpu.models.textures import sample_texture
 from miniraytracer_tpu.ops import bounce as B
 from miniraytracer_tpu.ops import intersect as ix
+from miniraytracer_tpu.ops.lookup import lookup_cols
 from miniraytracer_tpu.ops.vecmath import V3
 from miniraytracer_tpu.scene import types as T
 
@@ -61,9 +63,12 @@ NF, NI = B.NF, B.NI
 INF = B.INF
 NAN = jnp.float32(float("nan"))
 
-# external-candidate rows fed to the step kernel
+# external-candidate rows fed to the step kernel; ext-material mode
+# (scenes whose mat/tex tables exceed the SMEM budget) appends five more:
+# (mtype, mparam, albedo r, g, b) evaluated in XLA for the ext winner
 E_T, E_NX, E_NY, E_NZ, E_MAT = range(5)
 NE = 5
+NE_MAT = 10
 
 
 def _ext_types(scene: T.SceneData):
@@ -74,19 +79,137 @@ def _ext_types(scene: T.SceneData):
             scene.has_boxes and scene.n_boxes > B.MAX_PRIMS)
 
 
+def ext_mat_mode(scene: T.SceneData) -> bool:
+    """True when the scene's material/texture tables exceed the SMEM
+    budget, so the external winner's material is evaluated in XLA and
+    rides the candidate rows (random_spheres' 490 per-sphere materials)."""
+    return (scene.mat_type.shape[0] > B.MAX_MATS
+            or scene.tex_type.shape[0] > B.MAX_TEXS)
+
+
+def _smem_mat_ids(scene: T.SceneData):
+    """Static (mat ids, tex ids) referenced by IN-SMEM entities (rects,
+    volumes, non-ext prim types) — the set the compacted SMEM tables must
+    hold in ext-material mode."""
+    ext_sph, ext_tri, ext_box = _ext_types(scene)
+    used: list = []
+
+    def add(arr, act):
+        a = np.asarray(arr)
+        m = np.asarray(act).astype(bool)
+        used.extend(a[m].tolist())
+
+    if scene.n_spheres and not ext_sph:
+        add(scene.sph_mat, scene.sph_active)
+    if scene.n_rects:
+        add(scene.rect_mat, scene.rect_active)
+    if scene.n_tris and not ext_tri:
+        add(scene.tri_mat, scene.tri_active)
+    if scene.has_boxes and scene.n_boxes and not ext_box:
+        add(scene.box_mat, scene.box_active)
+    if scene.n_volumes:
+        add(scene.vol_mat, scene.vol_active)
+    any_used = bool(used)
+    mat_ids = sorted(set(int(v) for v in used)) or [0]
+    tex_ids = sorted(set(
+        int(v) for v in np.asarray(scene.mat_tex)[np.asarray(mat_ids)]
+    )) or [0]
+    return mat_ids, tex_ids, any_used
+
+
+def smem_plan(scene: T.SceneData):
+    """Static, HASHABLE compaction plan for ext-material mode: which
+    mat/tex rows the SMEM tables keep, plus the remapped prim/mat id
+    vectors. Must be computed from a CONCRETE scene (the structural id
+    arrays are read as numpy); pass the result through jit boundaries
+    where the scene leaves are tracers (the VALUE arrays — colors,
+    params — may be traced there, and static-index gathers keep their
+    cotangent chain to the full TrainParams)."""
+    mat_ids, tex_ids, any_used = _smem_mat_ids(scene)
+    mat_pos = {m: i for i, m in enumerate(mat_ids)}
+    tex_pos = {t: i for i, t in enumerate(tex_ids)}
+
+    def rm(arr):
+        return tuple(
+            mat_pos.get(int(v), 0) for v in np.asarray(arr).ravel())
+
+    kept_tex_type = np.asarray(scene.tex_type)[np.asarray(tex_ids)]
+    return (
+        ("any_used", any_used),
+        ("box_mat", rm(scene.box_mat)
+         if scene.has_boxes and scene.n_boxes else None),
+        ("has_image_k",
+         bool(any_used and (kept_tex_type == T.TEX_IMAGE).any())),
+        ("mat_ids", tuple(mat_ids)),
+        ("mat_tex", tuple(
+            tex_pos.get(int(v), 0)
+            for v in np.asarray(scene.mat_tex)[np.asarray(mat_ids)])),
+        ("rect_mat", rm(scene.rect_mat)),
+        ("sph_mat", rm(scene.sph_mat)),
+        ("tex_ids", tuple(tex_ids)),
+        ("tri_mat", rm(scene.tri_mat)),
+        ("vol_mat", rm(scene.vol_mat)),
+    )
+
+
+def _smem_scene(scene: T.SceneData, plan=None):
+    """Scene copy with mat/tex tables compacted per `plan` (see smem_plan)
+    — for PACKING only; the XLA ext-material evaluation keeps reading the
+    original scene."""
+    import dataclasses
+
+    if plan is None:
+        plan = smem_plan(scene)  # requires a concrete scene
+    p = dict(plan)
+    any_used = p["any_used"]
+    midx = np.asarray(p["mat_ids"])
+    tidx = np.asarray(p["tex_ids"])
+    # no in-SMEM entity references any material: the kept slot is a pure
+    # placeholder — neutralize it so a dummy image texture can't enable
+    # the in-kernel deferral machinery for lanes that cannot exist
+    tex_type_k = (scene.tex_type[tidx] if any_used
+                  else jnp.zeros((len(tidx),), scene.tex_type.dtype))
+    repl = dict(
+        mat_type=scene.mat_type[midx],
+        mat_param=scene.mat_param[midx],
+        mat_tex=jnp.asarray(np.asarray(p["mat_tex"], np.int32)),
+        tex_type=tex_type_k,
+        tex_c0=scene.tex_c0[tidx],
+        tex_c1=scene.tex_c1[tidx],
+        tex_scale=scene.tex_scale[tidx],
+        tex_img=scene.tex_img[tidx],
+        # image machinery only if a KEPT texture is an image (ext-prim
+        # images are evaluated in XLA and ride the albedo rows)
+        has_image=p["has_image_k"],
+    )
+    for name in ("sph_mat", "rect_mat", "tri_mat", "vol_mat"):
+        repl[name] = jnp.asarray(np.asarray(p[name], np.int32)).reshape(
+            getattr(scene, name).shape)
+    if p["box_mat"] is not None:
+        repl["box_mat"] = jnp.asarray(
+            np.asarray(p["box_mat"], np.int32)).reshape(scene.box_mat.shape)
+    return dataclasses.replace(scene, **repl)
+
+
 def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
     """Step-kernel eligibility: in-SMEM tables for everything except
-    (optionally) one big sphere set and one big triangle set."""
+    (optionally) one big sphere set and one big triangle set; scenes whose
+    mat/tex tables exceed SMEM qualify via ext-material mode when the
+    in-SMEM-referenced subset fits."""
     if not HAVE_PALLAS:
         return False
     if for_tpu and jax.default_backend() != "tpu":
         return False
-    ext_sph, ext_tri, _ext_box = _ext_types(scene)
+    ext_sph, ext_tri, ext_box = _ext_types(scene)
     if scene.n_rects > B.MAX_PRIMS or scene.n_volumes > B.MAX_VOLS:
         return False
-    if (scene.mat_type.shape[0] > B.MAX_MATS
-            or scene.tex_type.shape[0] > B.MAX_TEXS):
-        return False
+    emat = ext_mat_mode(scene)
+    if emat:
+        # every over-budget material must live on an EXT prim; the
+        # in-SMEM-referenced subset must fit the compacted tables
+        mat_ids, tex_ids, _any = _smem_mat_ids(scene)
+        if len(mat_ids) > B.MAX_MATS or len(tex_ids) > B.MAX_TEXS:
+            return False
     if len(scene.lights) > 4:
         return False
     if ext_sph and any(lt == T.PRIM_SPHERE for lt, _ in scene.lights):
@@ -94,26 +217,35 @@ def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
     if scene.fast_perlin:
         return False  # opt-in hash-gradient mode stays on the XLA path
     if scene.has_image:
-        # image uv is reconstructed from the winner normal -- valid for
-        # spheres only (reference puts images only on spheres; rect/tri
-        # image textures would need uv plumbed through the kernel)
+        # IN-KERNEL image uv is reconstructed from the winner normal --
+        # valid for spheres only (reference puts images only on spheres).
+        # Ext-prim images are exempt: their uv comes from the exact
+        # record in the XLA material evaluation (ext-material mode).
         mat_tex = np.asarray(scene.mat_tex)
         tex_type = np.asarray(scene.tex_type)
         img_mats = set(np.nonzero(tex_type[mat_tex] == T.TEX_IMAGE)[0].tolist())
-        for arr, act in ((scene.rect_mat, scene.rect_active),
-                         (scene.tri_mat, scene.tri_active)):
+        checks = []
+        checks.append((scene.rect_mat, scene.rect_active))
+        if not (emat and ext_tri):
+            checks.append((scene.tri_mat, scene.tri_active))
+        for arr, act in checks:
             live = np.asarray(arr)[np.asarray(act)]
             if live.shape[0] and img_mats & set(live.tolist()):
                 return False
     return True
 
 
-def pack_scene_hybrid(scene: T.SceneData):
+def pack_scene_hybrid(scene: T.SceneData, plan=None):
     """bounce.pack_scene with external types stripped from the SMEM tables
     (meta count 0 + dummy table: the step kernel sees them only through the
-    external candidate rows)."""
-    meta, tables = B.pack_scene(scene)
+    external candidate rows). In ext-material mode the mat/tex tables are
+    compacted to the in-SMEM-referenced subset first (_smem_scene);
+    `plan` (smem_plan) must be supplied when the scene leaves are traced."""
+    emat = ext_mat_mode(scene)
+    meta, tables = B.pack_scene(_smem_scene(scene, plan) if emat else scene)
     ext_sph, ext_tri, ext_box = _ext_types(scene)
+    if emat:
+        meta = dict(meta, ext_mat=True)
     if ext_sph:
         meta = dict(meta, S=0)
         tables[0] = jnp.zeros((1,), jnp.float32)
@@ -251,28 +383,51 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
     zero = jnp.zeros_like(safe_t)
     nrm = V3(one, zero, zero)
     mat = jnp.zeros((n,), jnp.int32)
+    uu = zero
+    vv = zero
     if has_sph:
         idx_s = jnp.where(is_s & has, i_s, 0)
-        _, n_sph, _, _, m_sph = ix.sphere_record(scene, rays, safe_t, idx_s)
+        _, n_sph, u_s, v_s, m_sph = ix.sphere_record(scene, rays, safe_t,
+                                                     idx_s)
         nrm = vwhere(is_s, n_sph, nrm)
         mat = jnp.where(is_s, m_sph, mat)
+        uu = jnp.where(is_s, u_s, uu)
+        vv = jnp.where(is_s, v_s, vv)
     if has_tri:
         idx_t = jnp.where(is_t & has, i_t, 0)
-        _, n_tri, _, _, m_tri = ix.tri_record(scene, rays, safe_t, idx_t)
+        _, n_tri, u_t, v_t, m_tri = ix.tri_record(scene, rays, safe_t, idx_t)
         nrm = vwhere(is_t, n_tri, nrm)
         mat = jnp.where(is_t, m_tri, mat)
+        uu = jnp.where(is_t, u_t, uu)
+        vv = jnp.where(is_t, v_t, vv)
     if ext_box:
         idx_b = jnp.where(is_b & has, i_b, 0)
-        _, n_box, _, _, m_box = ix.box_record(scene, rays, safe_t, idx_b)
+        _, n_box, u_b, v_b, m_box = ix.box_record(scene, rays, safe_t, idx_b)
         nrm = vwhere(is_b, n_box, nrm)
         mat = jnp.where(is_b, m_box, mat)
+        uu = jnp.where(is_b, u_b, uu)
+        vv = jnp.where(is_b, v_b, vv)
 
     nx = jnp.where(has, nrm.x, one)
     ny = jnp.where(has, nrm.y, 0.0)
     nz = jnp.where(has, nrm.z, 0.0)
     ext_t = jnp.where(has, ext_t, INF)
-    mat_f = jnp.where(has, mat, 0).astype(jnp.float32)
-    return ext_t, nx, ny, nz, mat_f
+    if not ext_mat_mode(scene):
+        mat_f = jnp.where(has, mat, 0).astype(jnp.float32)
+        return ext_t, nx, ny, nz, mat_f
+    # ext-material mode: the kernel's SMEM tables are compacted to the
+    # in-SMEM-referenced subset, so the winner's material is evaluated
+    # HERE from the full tables (texture sampled at the exact record uv,
+    # texture.cpp; images included) and rides five extra rows. mat_f is
+    # the sentinel -1 so the kernel's SMEM mat where-chain never matches
+    # an ext lane.
+    mt, mp, mtex = lookup_cols(
+        mat, (scene.mat_type, scene.mat_param, scene.mat_tex))
+    p = rays.ro + rays.rd * safe_t
+    albedo = sample_texture(scene, mtex, uu, vv, p)
+    mat_f = jnp.full((n,), -1.0, jnp.float32)
+    return (ext_t, nx, ny, nz, mat_f, mt.astype(jnp.float32), mp,
+            albedo.x, albedo.y, albedo.z)
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +436,8 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
 
 
 def _make_step_kernel(meta, width, height, sq, max_bounces, image):
+    ne = NE_MAT if meta.get("ext_mat") else NE
+
     def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
                tex_ref, cam_ref,
                ptab_ref, misc_ref, f_ref, i_ref, k_ref, ray_ref, pix_ref,
@@ -294,7 +451,7 @@ def _make_step_kernel(meta, width, height, sq, max_bounces, image):
         c = (tuple(f_ref[r] for r in range(NF))
              + tuple(i_ref[r] for r in range(NI))
              + (k_ref[:], ray_ref[:]))
-        ext = tuple(ext_ref[r] for r in range(NE))
+        ext = tuple(ext_ref[r] for r in range(ne))
         out, b, cont = B.wave_step(
             meta, tabs, ptab_ref, cam_ref, width, height, sq, max_bounces,
             max_lum, sample_lo, n_samples, pix, c, ext=ext)
@@ -342,7 +499,8 @@ def _step_call(meta, tables, fstate, istate, keys, rays_ct, pix, ext, misc,
         kernel,
         grid=(r128 // BLOCK_ROWS,),
         in_specs=([smem] * 8 + [ptab_spec, smem]
-                  + [spec3(NF), spec3(NI), spec2, spec2, spec2, spec3(NE)]),
+                  + [spec3(NF), spec3(NI), spec2, spec2, spec2,
+                     spec3(NE_MAT if meta_d.get("ext_mat") else NE)]),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -372,6 +530,8 @@ SO_NF = 13
 
 
 def _make_shade_kernel(meta, image):
+    ne = NE_MAT if meta.get("ext_mat") else NE
+
     def kernel(sph_ref, rect_ref, tri_ref, box_ref, vol_ref, mat_ref,
                tex_ref, cam_ref, ptab_ref, f_ref, i_ref, k_ref, ext_ref,
                fo_ref, io_ref, *img_refs):
@@ -388,7 +548,7 @@ def _make_shade_kernel(meta, image):
         inside = i_ref[:]  # whole (8,128) block — i_ref[0] would broadcast
         # row 0's counters over all sublanes (nested-dielectric corruption)
         keys_b = k_ref[:]
-        ext = tuple(ext_ref[r] for r in range(NE))
+        ext = tuple(ext_ref[r] for r in range(ne))
 
         b = B.bounce_physics(meta, tabs, ptab_ref, ro, rd, time, inside,
                              keys_b, ext=ext)
@@ -446,7 +606,8 @@ def _shade_call(meta, tables, fstate, istate, keys_b, ext, *, image,
         kernel,
         grid=(r128 // BLOCK_ROWS,),
         in_specs=([smem] * 8 + [ptab_spec]
-                  + [spec3(SH_NF), spec2, spec2, spec3(NE)]),
+                  + [spec3(SH_NF), spec2, spec2,
+                     spec3(NE_MAT if meta_d.get("ext_mat") else NE)]),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -459,7 +620,7 @@ def _shade_call(meta, tables, fstate, istate, keys_b, ext, *, image,
     return f_out, i_out, img_out
 
 
-def make_workqueue_shader(scene, interpret=False):
+def make_workqueue_shader(scene, interpret=False, plan=None):
     """A drop-in replacement for the work queue's XLA shading phase
     (integrator._shade_and_advance's semantics, minus HitRecord details):
 
@@ -467,9 +628,9 @@ def make_workqueue_shader(scene, interpret=False):
           -> (p V3, new_rd V3, new_inside, cont, beta' V3, radiance' V3)
 
     Flash cluster kernels intersect the external types, one Pallas step
-    kernel does the in-SMEM sweeps + shading. `scene` must be concrete
-    (tables/accel are closed over)."""
-    meta_d, tables = pack_scene_hybrid(scene)
+    kernel does the in-SMEM sweeps + shading. `scene` may be traced if
+    `plan` (smem_plan, or None for non-ext-material scenes) is given."""
+    meta_d, tables = pack_scene_hybrid(scene, plan)
     meta = tuple(sorted(meta_d.items()))
     image = meta_d["image"]
     accel = hybrid_accel(scene, interpret)
@@ -547,14 +708,14 @@ def _apply_image_albedo(scene, fstate, img_out):
 
 def render_wavefront_hybrid_pixels(scene, pix, sample_lo, n_samples, max_lum,
                                    *, width, height, max_bounces, spp_sq,
-                                   interpret=False, accel=None):
+                                   interpret=False, accel=None, plan=None):
     """Hybrid-step equivalent of integrator.render_wavefront_pixels.
 
     Same estimator; returns (accum V3, count, rays_traced)."""
     from miniraytracer_tpu.models import camera as cam_mod
     from miniraytracer_tpu.ops import rng as rng_mod
 
-    meta_d, tables = pack_scene_hybrid(scene)
+    meta_d, tables = pack_scene_hybrid(scene, plan)
     meta = tuple(sorted(meta_d.items()))
     image = meta_d["image"]
     if accel is None:
@@ -634,14 +795,14 @@ def render_wavefront_hybrid_pixels(scene, pix, sample_lo, n_samples, max_lum,
 
 
 @partial(jax.jit, static_argnames=(
-    "width", "height", "ns", "sq", "max_bounces", "interpret"))
+    "width", "height", "ns", "sq", "max_bounces", "interpret", "plan"))
 def _hybrid_frame_jit(scene, max_lum, *, width, height, ns, sq, max_bounces,
-                      interpret):
+                      interpret, plan=None):
     pix = jnp.arange(width * height, dtype=jnp.uint32)
     accum, count, rays = render_wavefront_hybrid_pixels(
         scene, pix, jnp.int32(0), jnp.int32(ns), max_lum,
         width=width, height=height, max_bounces=max_bounces, spp_sq=sq,
-        interpret=interpret,
+        interpret=interpret, plan=plan,
     )
     inv = 1.0 / jnp.maximum(count.astype(jnp.float32), 1.0)
     return (accum * inv).arr, rays
@@ -655,9 +816,10 @@ def render_wavefront_hybrid(scene, width, height, spp, max_bounces=32,
     sq = int(np.sqrt(spp))
     ns = sq * sq
     t0 = _time.perf_counter()
+    plan = smem_plan(scene) if ext_mat_mode(scene) else None
     frame, rays = _hybrid_frame_jit(
         scene, jnp.float32(max_lum), width=width, height=height, ns=ns, sq=sq,
-        max_bounces=max_bounces, interpret=interpret)
+        max_bounces=max_bounces, interpret=interpret, plan=plan)
     frame.block_until_ready()
     elapsed = _time.perf_counter() - t0
     total = float(rays)

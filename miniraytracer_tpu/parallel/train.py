@@ -65,7 +65,8 @@ def apply_params(scene: T.SceneData, p: TrainParams) -> T.SceneData:
 @lru_cache(maxsize=16)
 def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
                pack: int = 1, scan_steps: int = 0, spp_step: int = 1,
-               fused_ad: bool = False, interpret: bool = False):
+               fused_ad: bool = False, interpret: bool = False,
+               pack_plan=None):
     ndp = mesh.shape["dp"]
     nsp = mesh.shape["sp"]
     n_pix = width * height
@@ -109,7 +110,7 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
                 scene, pix, samp_base, spp_step,
                 width=width, height=height, max_bounces=max_bounces,
                 scan_steps=scan_steps, interpret=interpret,
-                use_ext=(fused_ad == "ext"),
+                use_ext=(fused_ad == "ext"), pack_plan=pack_plan,
             )
             sum3 = jnp.stack([summ.x, summ.y, summ.z], axis=-1)
             n_valid = jax.lax.psum(
@@ -218,7 +219,8 @@ def _make_step(mesh: Mesh, width: int, height: int, max_bounces: int,
 
 def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
                     pack: int = 1, scan_steps: int = 0, spp_step: int = 1,
-                    fused_ad: bool = False, interpret: bool = False):
+                    fused_ad: bool = False, interpret: bool = False,
+                    scene: T.SceneData | None = None):
     """Jitted SPMD train step.
 
     step(params, scene, target, sample0, offsets, lr)
@@ -248,5 +250,11 @@ def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
     sets through the differentiable culled flash kernels) — requires
     bounce_ad.can_fuse_ad_ext(scene).
     """
+    pack_plan = None
+    if fused_ad == "ext" and scene is not None:
+        from miniraytracer_tpu.ops import hybrid as H
+
+        if H.ext_mat_mode(scene):
+            pack_plan = H.smem_plan(scene)
     return _make_step(mesh, width, height, max_bounces, pack, scan_steps,
-                      spp_step, fused_ad, interpret)
+                      spp_step, fused_ad, interpret, pack_plan)

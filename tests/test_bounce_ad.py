@@ -322,3 +322,97 @@ def test_fused_ad_ext_image_matches_packed(_interpret_flash):
         np.testing.assert_allclose(
             a, b, rtol=2e-3, atol=2e-4 * scale,
             err_msg=f"TrainParams.{name} cotangent mismatch (ext image)")
+
+
+def _ext_mat_ad_scene(n_sph=70):
+    """Per-sphere materials (> MAX_MATS) on an ext sphere set, checker
+    ground sphere, one moving sphere — the ext-material AD path (winner
+    material evaluated differentiably in XLA, riding the candidate rows)."""
+    b = SceneBuilder()
+    b.name = "ext_mat_ad"
+    b.set_camera([0, 3, 12], [0, 1, 0], [0, 1, 0], 40.0, 1.0,
+                 aperture=0.0, focus_dist=10.0, t0=0.0, t1=1.0)
+    checker = b.lambertian(b.tex_checker([0.2, 0.3, 0.1], [0.9, 0.9, 0.9],
+                                         0.6))
+    b.sphere([0, -1000, 0], 1000, checker)
+    lightm = b.diffuse_light(b.tex_const([1, 1, 1]), 7.0)
+    b.add_light(b.xz_rect(-2, 2, -2, 2, 8, lightm))
+    rs = np.random.RandomState(7)
+    for i in range(n_sph):
+        p = rs.uniform(-6, 6, 3)
+        p[1] = rs.uniform(0.2, 3)
+        roll = i % 3
+        if roll == 0:
+            m = b.lambertian(b.tex_const(rs.uniform(0.1, 0.9, 3).tolist()))
+        elif roll == 1:
+            m = b.metal(b.tex_const(rs.uniform(0.5, 1.0, 3).tolist()),
+                        rs.uniform(0.0, 0.5))
+        else:
+            m = b.dielectric(1.5)
+        if i == 0:
+            c = p.tolist()
+            b.sphere(c, 0.3, m, center1=[c[0] + 0.3, c[1], c[2]],
+                     t0=0.0, t1=1.0)
+        else:
+            b.sphere(p.tolist(), rs.uniform(0.1, 0.4), m)
+    b.use_sky = True
+    return b.build()
+
+
+@pytest.mark.slow
+def test_fused_ad_ext_mat_matches_packed(_interpret_flash):
+    """Forward + gradient parity for the ext-MATERIAL path (per-sphere
+    materials beyond the SMEM budget): tex_c0 / mat_param / sph_c0
+    cotangents must flow through the XLA material evaluation and the
+    culled kernels back to the full TrainParams."""
+    from miniraytracer_tpu.ops import hybrid as H
+
+    scene = _ext_mat_ad_scene()
+    assert H.ext_mat_mode(scene)
+    assert bounce_ad.can_fuse_ad_ext(scene, for_tpu=False)
+    W = H2 = 10
+    spp, B = 2, 4
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H2, dtype=jnp.uint32)
+    sum_x, nv_x, done = _fold_packed(scene, pix, spp, W, H2, B, steps)
+    assert bool(done.all())
+    sum_f, nv_f, _ = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H2, max_bounces=B,
+        scan_steps=steps, interpret=True, use_ext=True)
+    np.testing.assert_array_equal(np.asarray(nv_f), np.asarray(nv_x))
+    # the ext sphere set runs the flash quadratic, the packed CPU path the
+    # XLA componentwise sweep — ~1e-5 rel t formulation noise accumulates
+    # through the bounces (no discrete flips at this seed/config; see
+    # test_hybrid_ext_spheres_statistical for the same effect)
+    d = np.abs(np.stack([sum_f.x, sum_f.y, sum_f.z], -1)
+               - np.asarray(sum_x)).max()
+    assert d < 2e-3, f"max sum diff {d}"
+
+    params = extract_params(scene)
+    target = jnp.full((W * H2, 3), 0.25, jnp.float32)
+
+    def loss_ext(params):
+        sc = apply_params(scene, params)
+        summ, nv, _ = bounce_ad.sample_pixel_sums_fused(
+            sc, pix, 0, spp, width=W, height=H2, max_bounces=B,
+            scan_steps=steps, interpret=True, use_ext=True,
+            pack_plan=H.smem_plan(scene))
+        mean = (jnp.stack([summ.x, summ.y, summ.z], -1)
+                / jnp.maximum(nv, 1.0)[:, None])
+        err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+        return jnp.sum(err * err)
+
+    lf, gf = jax.value_and_grad(loss_ext)(params)
+    lx, gx = jax.value_and_grad(_loss_packed)(
+        params, scene, pix, spp, W, H2, B, steps, target)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-3)
+    for name in params._fields:
+        a = np.asarray(getattr(gf, name))
+        bb = np.asarray(getattr(gx, name))
+        scale = max(np.abs(bb).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, bb, rtol=1e-2, atol=2e-3 * scale,
+            err_msg=f"TrainParams.{name} cotangent mismatch (ext-material)")
+    # per-sphere albedo gradients flow through the XLA texture eval
+    assert np.abs(np.asarray(gf.tex_c0)).max() > 0
+    assert np.abs(np.asarray(gf.sph_c0)).max() > 0

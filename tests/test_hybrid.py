@@ -76,10 +76,18 @@ def _statistical(scene, W, H, spp, bounces, mean_tol=5e-3, ray_tol=0.02):
 def test_hybrid_gating():
     assert hybrid.can_hybrid(S.earth(1.0), for_tpu=False)
     assert hybrid.can_hybrid(S.triangles(1.0), for_tpu=False)
-    # per-sphere materials blow the SMEM mat table budget
-    assert not hybrid.can_hybrid(S.random_spheres(1.0), for_tpu=False)
-    # book2's 400 box prims go through the external XLA sweep
+    # per-sphere materials blow the SMEM mat table budget -> qualify via
+    # ext-material mode (winner material evaluated in XLA, rides the
+    # candidate rows)
+    rs = S.random_spheres(1.0)
+    assert hybrid.can_hybrid(rs, for_tpu=False)
+    assert hybrid.ext_mat_mode(rs)
+    meta, _tables = hybrid.pack_scene_hybrid(rs)
+    assert meta["ext_mat"] and meta["M"] == 1 and not meta["image"]
+    # book2's 400 box prims go through the external XLA sweep (its 11
+    # materials still fit SMEM -- no ext-material mode)
     assert hybrid.can_hybrid(S.book2_final(1.0), for_tpu=False)
+    assert not hybrid.ext_mat_mode(S.book2_final(1.0))
     assert hybrid._ext_types(S.book2_final(1.0)) == (True, False, True)
 
 
@@ -160,3 +168,50 @@ def test_hybrid_book2_class_statistical():
     sc = b.build()
     assert hybrid.can_hybrid(sc, for_tpu=False)
     _statistical(sc, 10, 10, 4, 6, mean_tol=2e-2, ray_tol=0.05)
+
+
+def _ext_mat_scene(n_sph=70):
+    """PER-SPHERE materials (> MAX_MATS) on an external sphere set: the
+    ext-material path — winner material/texture evaluated in XLA, riding
+    the candidate rows. Checker ground + metals/dielectrics + an in-SMEM
+    rect light whose material must survive the SMEM compaction."""
+    b = SceneBuilder()
+    b.name = "ext_mat"
+    b.set_camera([0, 3, 12], [0, 1, 0], [0, 1, 0], 40.0, 1.0,
+                 aperture=0.0, focus_dist=10.0, t0=0.0, t1=0.0)
+    checker = b.lambertian(b.tex_checker([0.2, 0.3, 0.1], [0.9, 0.9, 0.9],
+                                         0.6))
+    b.sphere([0, -1000, 0], 1000, checker)
+    lightm = b.diffuse_light(b.tex_const([1, 1, 1]), 7.0)
+    b.add_light(b.xz_rect(-2, 2, -2, 2, 8, lightm))
+    rng = np.random.RandomState(7)
+    for i in range(n_sph):
+        p = rng.uniform(-6, 6, 3)
+        p[1] = rng.uniform(0.2, 3)
+        roll = i % 3
+        if roll == 0:
+            m = b.lambertian(b.tex_const(rng.uniform(0.1, 0.9, 3).tolist()))
+        elif roll == 1:
+            m = b.metal(b.tex_const(rng.uniform(0.5, 1.0, 3).tolist()),
+                        rng.uniform(0.0, 0.5))
+        else:
+            m = b.dielectric(1.5)
+        b.sphere(p.tolist(), rng.uniform(0.1, 0.4), m)
+    b.use_sky = True
+    return b.build()
+
+
+def test_hybrid_ext_mat_statistical():
+    """Per-sphere materials through the ext-material rows: hybrid must
+    reproduce the wavefront estimator (marginal-lane flips only, from the
+    flash quadratic's ~1e-5 rel t difference)."""
+    scene = _ext_mat_scene()
+    assert hybrid.can_hybrid(scene, for_tpu=False)
+    assert hybrid.ext_mat_mode(scene)
+    _statistical(scene, 16, 16, 16, 8)
+
+
+def test_hybrid_ext_mat_production_scenes_statistical():
+    """The two reference scenes the mode unlocks."""
+    _statistical(S.random_spheres(1.0), 16, 16, 4, 8)
+    _statistical(S.random_spheres_2(1.0), 16, 16, 4, 8)
