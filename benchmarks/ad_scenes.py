@@ -49,7 +49,13 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
     ml = jnp.float32(1000.0)
     fused = bounce_ad.can_fuse_ad(scene)
     if not fused and bounce_ad.can_fuse_ad_ext(scene):
-        fused = "ext"  # hybrid-ext fused step (big prim sets via culled VJPs)
+        from miniraytracer_tpu.ops import hybrid as _H
+
+        # same measured policy as the forward auto-pick: ext-material +
+        # image scenes train faster on the packed scan (random_spheres_2
+        # on-chip: ext 2.40 vs packed 2.71 Mrays/s)
+        if not (_H.ext_mat_mode(scene) and scene.has_image):
+            fused = "ext"  # hybrid-ext fused step (culled VJP kernels)
 
     # target frame: one progressive pass
     frame = make_frame(width, height, mesh)

@@ -779,7 +779,7 @@ def render_workqueue(
         # (book2 on-chip: 6.20 XLA vs 6.03 fused)
         from miniraytracer_tpu.ops import hybrid as hybrid_mod
 
-        fused_shade = (hybrid_mod.can_hybrid(scene)
+        fused_shade = (hybrid_mod.prefer_hybrid(scene)
                        and not hybrid_mod._ext_types(scene)[2])
     fused_shade = bool(fused_shade)
     plan = None
@@ -858,10 +858,11 @@ def pick_renderer(scene: T.SceneData) -> str:
         # ~100% utilized (hybrid's pixel-pinned loop measured slower here:
         # triangles 2.6 vs 4.1, book2 3.7 vs 4.2 Mrays/s on-chip)
         return "workqueue"
-    if hybrid.can_hybrid(scene):
+    if hybrid.prefer_hybrid(scene):
         # shading-dominated scenes the fused kernel can't take (image
         # textures / 64<prims<2000): one step kernel per bounce beats the
-        # XLA fusion soup (earth 10.7 vs 9.6 Mrays/s on-chip)
+        # XLA fusion soup (earth 10.7 vs 9.6, random_spheres 22.4 vs 19.5
+        # Mrays/s on-chip; prefer_hybrid excludes the measured losers)
         return "hybrid"
     return "wavefront"
 

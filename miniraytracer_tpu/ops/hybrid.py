@@ -235,6 +235,17 @@ def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
     return True
 
 
+def prefer_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
+    """Auto-pick policy: hybrid where it measured faster. Ext-material
+    scenes WITH an image texture pay a per-step XLA texture/image eval on
+    every lane and lose to the plain wavefront (random_spheres_2 on-chip:
+    hybrid 4.2 vs wavefront 11.6 Mrays/s; random_spheres, imageless,
+    wins 22.4 vs 19.5) — capability (can_hybrid) is unchanged, only the
+    default choice."""
+    return can_hybrid(scene, for_tpu) and not (
+        ext_mat_mode(scene) and scene.has_image)
+
+
 def pack_scene_hybrid(scene: T.SceneData, plan=None):
     """bounce.pack_scene with external types stripped from the SMEM tables
     (meta count 0 + dummy table: the step kernel sees them only through the
