@@ -173,10 +173,19 @@ def main():
 
     from miniraytracer_tpu.models.integrator import render_auto
 
-    _, astats = render_auto(scene, W, H, fwd_spp, max_bounces=B)  # warm
+    f0, astats = render_auto(scene, W, H, fwd_spp, max_bounces=B)  # warm
+    float(jnp.asarray(f0).ravel()[0])  # REAL completion before the clock
+    # starts (the warm call's internal block_until_ready can fake-return
+    # on the tunnel backend, leaking its execution into the timed window
+    # — observed as a 50x-low fwd number)
     t0 = time.perf_counter()
-    _, a1 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
-    _, a2 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    f1, a1 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    f2, a2 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    # force a device->host VALUE transfer: the remote-tunnel backend's
+    # block_until_ready intermittently returns early (observed ~1 ms on a
+    # 2.5 s step mid-sweep); in-order device streams mean materializing
+    # the LAST result fences everything before it
+    float(jnp.asarray(f2).ravel()[0])
     t_fwd = time.perf_counter() - t0
     fwd_mrays = (a1["rays"] + a2["rays"]) / t_fwd / 1e6
 
@@ -245,11 +254,11 @@ def main():
     # params carry jit-decided shardings that differ from the host arrays)
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
-    jax.block_until_ready(loss)
+    float(loss)  # value transfer, not block_until_ready (see fwd note)
     t0 = time.perf_counter()
     for i in range(args.fwdbwd_steps):
         params, loss, _ = step(params, scene, target, jnp.int32(i), offs, lr)
-    jax.block_until_ready(loss)
+    float(loss)
     t_step = time.perf_counter() - t0
     fwdbwd_mrays = scan_rays * args.fwdbwd_steps / t_step / 1e6
 

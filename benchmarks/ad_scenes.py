@@ -105,12 +105,15 @@ def measure_scene(name: str, *, width=500, height=500, bounces=32,
     # two warmups (second compiles the fed-back param shardings)
     params, loss, grads = step(params, scene, frame, jnp.int32(0), offs, lr)
     params, loss, grads = step(params, scene, frame, jnp.int32(0), offs, lr)
-    jax.block_until_ready(loss)
+    # NOT block_until_ready: a device->host VALUE transfer is the only
+    # completion signal the remote-tunnel backend cannot fake (mid-sweep,
+    # block_until_ready intermittently returned in ~1 ms on a 2.5 s step)
+    float(loss)
     t0 = time.perf_counter()
     for i in range(steps):
         params, loss, grads = step(params, scene, frame, jnp.int32(i), offs,
                                    lr)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = (time.perf_counter() - t0) / steps
     finite = all(bool(jnp.isfinite(g).all())
                  for g in jax.tree_util.tree_leaves(grads))
