@@ -177,17 +177,25 @@ def main():
     float(jnp.asarray(f0).ravel()[0])  # REAL completion before the clock
     # starts (the warm call's internal block_until_ready can fake-return
     # on the tunnel backend, leaking its execution into the timed window
-    # — observed as a 50x-low fwd number)
+    # — observed as a 50x-low fwd number).
+    # Slope timing: each fenced segment ends in ONE device->host VALUE
+    # transfer (the only completion signal the tunnel backend cannot fake),
+    # but that transfer costs a ~0.3-0.6 s tunnel RTT — comparable to the
+    # render itself on fused scenes (measured: 2 fenced cornell renders in
+    # 0.51 s of which ~0.28 s was the fence). Timing (1 render + fence) and
+    # (1+K renders + fence) and differencing cancels the constant RTT.
+    fwd_k = 4
     t0 = time.perf_counter()
-    f1, a1 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
-    f2, a2 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
-    # force a device->host VALUE transfer: the remote-tunnel backend's
-    # block_until_ready intermittently returns early (observed ~1 ms on a
-    # 2.5 s step mid-sweep); in-order device streams mean materializing
-    # the LAST result fences everything before it
-    float(jnp.asarray(f2).ravel()[0])
-    t_fwd = time.perf_counter() - t0
-    fwd_mrays = (a1["rays"] + a2["rays"]) / t_fwd / 1e6
+    fA, a1 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    float(jnp.asarray(fA).ravel()[0])
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(1 + fwd_k):
+        fB, a2 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
+    float(jnp.asarray(fB).ravel()[0])
+    t_many = time.perf_counter() - t0
+    t_fwd = max(t_many - t_one, 1e-9)
+    fwd_mrays = a2["rays"] * fwd_k / t_fwd / 1e6
 
     # target for the training step: a progressive-pass frame
     frame = make_frame(W, H, mesh)
@@ -255,11 +263,18 @@ def main():
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
     float(loss)  # value transfer, not block_until_ready (see fwd note)
+    # slope timing (same rationale as the fwd section: the value-transfer
+    # fence costs a tunnel RTT comparable to a few steps' compute)
     t0 = time.perf_counter()
-    for i in range(args.fwdbwd_steps):
+    params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
+    float(loss)
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(1 + args.fwdbwd_steps):
         params, loss, _ = step(params, scene, target, jnp.int32(i), offs, lr)
     float(loss)
-    t_step = time.perf_counter() - t0
+    t_many = time.perf_counter() - t0
+    t_step = max(t_many - t_one, 1e-9)
     fwdbwd_mrays = scan_rays * args.fwdbwd_steps / t_step / 1e6
 
     result = {

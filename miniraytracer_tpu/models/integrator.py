@@ -774,13 +774,15 @@ def render_workqueue(
         # shading moves into the hybrid step kernel where the scene fits
         # its SMEM budget (ops/hybrid.can_hybrid); intersection of big
         # primitive sets stays in the flash cluster kernels either way.
-        # Scenes with an EXTERNAL box sweep keep the XLA path: the per-
-        # bounce box record assembly costs more than fused shading saves
-        # (book2 on-chip: 6.20 XLA vs 6.03 fused)
+        # Ext-box scenes included since the round-4 step-kernel upgrades
+        # (in-kernel texel indexing etc.): book2 on-chip 7.05-7.20 fused
+        # vs 6.06-6.13 XLA across 3 interleaved A/Bs (an earlier
+        # measurement with the older step kernel had the XLA path ahead
+        # 6.20 vs 6.03); the per-bounce box ext sweep itself is ~free
+        # (2x-box doubling: +0.8% of frame).
         from miniraytracer_tpu.ops import hybrid as hybrid_mod
 
-        fused_shade = (hybrid_mod.prefer_hybrid(scene)
-                       and not hybrid_mod._ext_types(scene)[2])
+        fused_shade = hybrid_mod.prefer_hybrid(scene)
     fused_shade = bool(fused_shade)
     plan = None
     if fused_shade:
