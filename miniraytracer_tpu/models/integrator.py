@@ -713,6 +713,20 @@ def render_workqueue_pixels(
     return accum, state.count[:n_pix], state.rays_traced
 
 
+def wq_auto_lanes(scene, n_pix: int) -> int:
+    """Measured-on-chip lane budget for the work queue (v5e, 500x500,
+    round 4): more lanes amortize per-iteration fixed costs only up to a
+    point — past it the per-lane XLA stage costs (texel/record gathers,
+    scatter merges, claim prefix sums — all linear in lanes) dominate.
+    book2 (ext-box) 32k/65k/131k/250k/500k = 9.18/9.31/8.64/7.11/4.73
+    Mrays/s; earth 65k/131k/250k/500k = 21.5/21.5/19.9/16.8; triangles
+    flat across 131k..250k (4.67/4.62)."""
+    from miniraytracer_tpu.ops import hybrid as hybrid_mod
+
+    cap = 65_536 if hybrid_mod._ext_types(scene)[2] else 131_072
+    return min(n_pix, cap)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "n_lanes", "fused_shade", "plan"))
 def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces,
@@ -720,7 +734,8 @@ def _render_workqueue_jit(scene, max_lum, *, width, height, spp, max_bounces,
     offs, ns = sample_offsets(spp)
     n_pix = width * height
     accum, count, rays = render_workqueue_pixels(
-        scene, n_pix, n_lanes or n_pix, offs, ns, max_lum,
+        scene, n_pix, n_lanes or wq_auto_lanes(scene, n_pix), offs, ns,
+        max_lum,
         width=width, height=height, max_bounces=max_bounces,
         fused_shade=fused_shade, plan=plan,
     )
@@ -743,7 +758,8 @@ def _render_workqueue_chunk_jit(scene, max_lum, base, *, width, height, spp,
     offs, _ = sample_offsets(spp)
     n_pix = width * height
     accum, count, rays = render_workqueue_pixels(
-        scene, n_pix, n_lanes or n_pix, offs, chunk, max_lum,
+        scene, n_pix, n_lanes or wq_auto_lanes(scene, n_pix), offs, chunk,
+        max_lum,
         width=width, height=height, max_bounces=max_bounces,
         sample_base=base, fused_shade=fused_shade, plan=plan,
     )
@@ -835,20 +851,15 @@ def render_workqueue(
 
 
 def pick_renderer(scene: T.SceneData) -> str:
-    """Forward-renderer heuristic (re-validated on TPU v5e, round 2,
-    500x500, after the f32-precision fix): the work queue's
-    scatter/prefix-sum overhead pays off only when per-iteration
-    intersection work dominates — i.e. big primitive counts. Crossover
-    sits around ~2k primitives (measured, 16spp):
-      triangles (11.3k tris): wavefront 1.0 -> workqueue 3.6 Mrays/s
-      book2 (4.8k tris + 1k spheres): 2.1 -> 4.2
-      cornell (19 prims, 64spp): wavefront-fused 273-443 (workqueue
-      loses its queue bookkeeping at tiny per-iteration intersection
-      cost)
-    Scenes whose tables fit the fused Pallas bounce kernel's SMEM budget
-    (ops/bounce.py can_fuse — incl. exact Perlin: perlin_spheres 153-231
-    Mrays/s) run the whole wavefront body in one kernel.
-    """
+    """Forward-renderer heuristic (re-validated on TPU v5e each round;
+    latest same-session sweep: round 4, 500x500x64spp). Scenes whose
+    tables fit the fused Pallas bounce kernel's SMEM budget
+    (ops/bounce.py can_fuse — incl. exact Perlin) run the whole
+    wavefront body in one kernel (cornell-class, 180-570 Mrays/s).
+    Everything else goes to the compacting work queue — with fused
+    step-kernel shading where the hybrid machinery supports the scene —
+    EXCEPT imageless shading-dominated scenes, where the pixel-pinned
+    hybrid loop measured faster (see inline numbers)."""
     from miniraytracer_tpu.ops import bounce, hybrid
 
     if bounce.can_fuse(scene):
@@ -861,11 +872,20 @@ def pick_renderer(scene: T.SceneData) -> str:
         # triangles 2.6 vs 4.1, book2 3.7 vs 4.2 Mrays/s on-chip)
         return "workqueue"
     if hybrid.prefer_hybrid(scene):
-        # shading-dominated scenes the fused kernel can't take (image
-        # textures / 64<prims<2000): one step kernel per bounce beats the
-        # XLA fusion soup (earth 10.7 vs 9.6, random_spheres 22.4 vs 19.5
-        # Mrays/s on-chip; prefer_hybrid excludes the measured losers)
+        if scene.has_image:
+            # image scenes pay a ~10 ns/lane XLA texel gather per bounce
+            # iteration in EVERY renderer; the compacting queue runs
+            # fewer, fuller iterations than the pixel-pinned hybrid loop
+            # (earth on-chip same-session: wq 21.3 vs hybrid 17.8)
+            return "workqueue"
+        # imageless shading-dominated scenes keep the pixel-pinned hybrid
+        # loop (random_spheres same-session: hybrid 22.3 vs wq 20.9)
         return "hybrid"
+    if heavy >= 64:
+        # XLA-shaded work queue: lane compaction alone beats the
+        # pixel-pinned wavefront once the per-bounce sweep is nontrivial
+        # (random_spheres_2 same-session: wq 17.0 vs wavefront 11.6)
+        return "workqueue"
     return "wavefront"
 
 
