@@ -65,6 +65,29 @@ def _tpu_healthy(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def _slope_seconds(call, fence, k: int) -> float:
+    """Seconds per call by slope timing: time (1 call + fence) and
+    (1+k calls + fence) and difference — cancels the ~0.3-0.6 s tunnel-RTT
+    cost of the value-transfer fence (the only completion signal the
+    tunnel backend cannot fake; see the in-line notes at the call sites)."""
+    t0 = time.perf_counter()
+    call()
+    fence()
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(1 + k):
+        call()
+    fence()
+    t_many = time.perf_counter() - t0
+    return max(t_many - t_one, 1e-9) / k
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=500)
@@ -72,6 +95,10 @@ def main():
     ap.add_argument("--bounces", type=int, default=32)
     ap.add_argument("--fwd-passes", type=int, default=16)
     ap.add_argument("--fwdbwd-steps", type=int, default=4)
+    ap.add_argument("--windows", type=int, default=3,
+                    help="interleaved slope-timing windows per metric; the "
+                         "headline is the median and the per-window values "
+                         "land in extra (spread integrity, VERDICT r4)")
     ap.add_argument("--pack", type=int, default=16,
                     help="samples per lane in the packed AD scan (1 = legacy "
                          "full-width scan). Default from the on-chip joint "
@@ -185,17 +212,14 @@ def main():
     # 0.51 s of which ~0.28 s was the fence). Timing (1 render + fence) and
     # (1+K renders + fence) and differencing cancels the constant RTT.
     fwd_k = 4
-    t0 = time.perf_counter()
-    fA, a1 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
-    float(jnp.asarray(fA).ravel()[0])
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(1 + fwd_k):
-        fB, a2 = render_auto(scene, W, H, fwd_spp, max_bounces=B)
-    float(jnp.asarray(fB).ravel()[0])
-    t_many = time.perf_counter() - t0
-    t_fwd = max(t_many - t_one, 1e-9)
-    fwd_mrays = a2["rays"] * fwd_k / t_fwd / 1e6
+    fwd_state = {}
+
+    def _fwd_call():
+        fwd_state["f"], fwd_state["a"] = render_auto(
+            scene, W, H, fwd_spp, max_bounces=B)
+
+    def _fwd_fence():
+        float(jnp.asarray(fwd_state["f"]).ravel()[0])
 
     # target for the training step: a progressive-pass frame
     frame = make_frame(W, H, mesh)
@@ -263,19 +287,37 @@ def main():
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
     params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
     float(loss)  # value transfer, not block_until_ready (see fwd note)
-    # slope timing (same rationale as the fwd section: the value-transfer
-    # fence costs a tunnel RTT comparable to a few steps' compute)
-    t0 = time.perf_counter()
-    params, loss, _ = step(params, scene, target, jnp.int32(0), offs, lr)
-    float(loss)
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for i in range(1 + args.fwdbwd_steps):
-        params, loss, _ = step(params, scene, target, jnp.int32(i), offs, lr)
-    float(loss)
-    t_many = time.perf_counter() - t0
-    t_step = max(t_many - t_one, 1e-9)
-    fwdbwd_mrays = scan_rays * args.fwdbwd_steps / t_step / 1e6
+
+    step_state = {"params": params, "loss": loss, "i": 0}
+
+    def _step_call():
+        step_state["i"] += 1
+        step_state["params"], step_state["loss"], _ = step(
+            step_state["params"], scene, target,
+            jnp.int32(step_state["i"]), offs, lr)
+
+    def _step_fence():
+        float(step_state["loss"])
+
+    # K interleaved slope windows per metric, reported as median + spread:
+    # session-to-session swing on the fused kernels is +-30% (README/
+    # REFERENCE_PARITY), and a single window cannot distinguish a real
+    # regression from ordinary drift WITHIN the run either. Interleaving
+    # (fwd, fwdbwd, fwd, ...) makes both metrics sample the same
+    # conditions; the per-window values land in extra so the spread of
+    # THIS measurement is part of the record.
+    n_win = max(1, args.windows)
+    fwd_secs, step_secs = [], []
+    for _ in range(n_win):
+        fwd_secs.append(_slope_seconds(_fwd_call, _fwd_fence, fwd_k))
+        step_secs.append(
+            _slope_seconds(_step_call, _step_fence, args.fwdbwd_steps))
+    a2 = fwd_state["a"]
+    loss = step_state["loss"]
+    fwd_win = [a2["rays"] / s / 1e6 for s in fwd_secs]
+    step_win = [scan_rays / s / 1e6 for s in step_secs]
+    fwd_mrays = _median(fwd_win)
+    fwdbwd_mrays = _median(step_win)
 
     result = {
         "metric": "cornell_500x500_mrays_per_s_fwdbwd",
@@ -284,6 +326,14 @@ def main():
         "vs_baseline": round(fwdbwd_mrays / BASELINE_MRAYS, 3),
         "extra": {
             "fwd_mrays_per_s": round(fwd_mrays, 3),
+            # per-window values (median is the headline): the spread is
+            # the run's own uncertainty estimate
+            "fwd_window_mrays": [round(v, 1) for v in fwd_win],
+            "fwdbwd_window_mrays": [round(v, 2) for v in step_win],
+            "fwd_spread_frac": round(
+                (max(fwd_win) - min(fwd_win)) / max(fwd_mrays, 1e-9), 3),
+            "fwdbwd_spread_frac": round(
+                (max(step_win) - min(step_win)) / max(fwdbwd_mrays, 1e-9), 3),
             # which renderer produced fwd_mrays_per_s (render_auto's pick)
             "fwd_renderer": a2.get("renderer", "auto"),
             # the sharded wrapper's number for reference (slower at

@@ -141,6 +141,52 @@ def image_sample(scene: T.SceneData, img_id, h, w, u, v) -> V3:
     )
 
 
+def sample_texture_deferred(scene: T.SceneData, tex_id: jnp.ndarray, u, v,
+                            p: V3):
+    """sample_texture with the image FETCH deferred: image-texture rows
+    return albedo 1 plus the flat NN texel index into
+    scene.images.reshape(-1) (the exact texture.cpp:207-225 quantization at
+    the record uv); non-image rows sample normally and carry index -1.
+
+    The caller multiplies the gathered texel into throughput later (the
+    hybrid renderers' between-step gather) — valid ONLY when every
+    image-referencing material consumes albedo multiplicatively via
+    scattering (lambertian/metal/isotropic; hybrid.smem_plan's "ext_defer"
+    flag asserts this statically). Returns (albedo V3, idxf (N,) f32)."""
+    (ttype, c0x, c0y, c0z, c1x, c1y, c1z, scale, img_id) = lookup_cols(
+        tex_id,
+        (
+            scene.tex_type,
+            scene.tex_c0[:, 0], scene.tex_c0[:, 1], scene.tex_c0[:, 2],
+            scene.tex_c1[:, 0], scene.tex_c1[:, 1], scene.tex_c1[:, 2],
+            scene.tex_scale, scene.tex_img,
+        ),
+    )
+    c0 = V3(c0x, c0y, c0z)
+    c1 = V3(c1x, c1y, c1z)
+    out = c0
+    sines = jnp.sin(scale * p.x) * jnp.sin(scale * p.y) * jnp.sin(scale * p.z)
+    out = vwhere((ttype == T.TEX_CHECKER) & (sines < 0), c1, out)
+    if scene.has_perlin:
+        turb = perlin_turbulence(scene, p * scale)
+        out = vwhere(ttype == T.TEX_PERLIN, V3(turb, turb, turb), out)
+    idxf = jnp.full_like(p.x, -1.0)
+    if scene.has_image:
+        is_img = ttype == T.TEX_IMAGE
+        h, w = c1.x, c1.y  # builder stash
+        hi = h.astype(jnp.int32)
+        wi = w.astype(jnp.int32)
+        i = jnp.clip((u * w).astype(jnp.int32), 0, wi - 1)
+        j = jnp.clip(((1.0 - v) * h).astype(jnp.int32), 0, hi - 1)
+        ih, iw = (int(d) for d in scene.images.shape[1:3])
+        flat = (img_id.astype(jnp.int32) * (ih * iw) + j * iw
+                + i).astype(jnp.float32)
+        idxf = jnp.where(is_img, flat, idxf)
+        one = jnp.ones_like(p.x)
+        out = vwhere(is_img, V3(one, one, one), out)
+    return out, idxf
+
+
 def sample_texture(scene: T.SceneData, tex_id: jnp.ndarray, u, v, p: V3,
                    accel=None) -> V3:
     """Batched texture::sample for per-ray texture ids (N,) -> V3 color.

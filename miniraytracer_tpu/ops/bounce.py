@@ -119,6 +119,16 @@ def pack_scene(scene: T.SceneData):
         img_hw=(tuple(int(d) for d in scene.images.shape[1:3])
                 if scene.has_image else (0, 0)),
     )
+    if meta["image"]:
+        # the flat texel index rides an f32 lane row: indices >= 2^24 lose
+        # integer exactness and silently sample the wrong texel — fail
+        # loudly instead (would need stacked padded images > 16.7M texels)
+        n_img, ih, iw = (int(d) for d in scene.images.shape[:3])
+        if n_img * ih * iw >= 2 ** 24:
+            raise ValueError(
+                f"image texel table too large for the in-kernel f32 index "
+                f"row: {n_img}x{ih}x{iw} = {n_img * ih * iw} texels "
+                f">= 2^24; split or downscale the image set")
     sph = jnp.concatenate([
         scene.sph_c0.reshape(-1), scene.sph_c1.reshape(-1),
         scene.sph_t0, scene.sph_t1, scene.sph_moving, scene.sph_radius,
@@ -419,12 +429,15 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
     else:
         if meta.get("ext_mat"):
             # ext-material mode: the winner's material params were
-            # evaluated in XLA (hybrid._external_candidate) and ride five
+            # evaluated in XLA (hybrid._external_candidate) and ride six
             # extra rows; mat_f is the sentinel -1 so the SMEM mat
-            # where-chain below never matches an ext lane
+            # where-chain below never matches an ext lane. em_img carries
+            # a deferred flat texel index (-1 = none): the ext winner's
+            # image albedo is gathered by the caller between steps.
             (ext_t, ext_nx, ext_ny, ext_nz, ext_mat,
-             em_type, em_param, em_ar, em_ag, em_ab) = ext
-            ext_mat_rows = (em_type, em_param, V3(em_ar, em_ag, em_ab))
+             em_type, em_param, em_ar, em_ag, em_ab, em_img) = ext
+            ext_mat_rows = (em_type, em_param, V3(em_ar, em_ag, em_ab),
+                            em_img)
         else:
             ext_t, ext_nx, ext_ny, ext_nz, ext_mat = ext
         best_t = ext_t
@@ -794,10 +807,14 @@ def bounce_physics(meta, tabs, ptab, ro, rd, time, inside, keys_b, ext=None):
         # whose winner is the external candidate (everything downstream —
         # emission, specular classification, scatter sampling, MIS — then
         # runs on the overridden values unchanged)
-        em_type, em_param, em_albedo = ext_mat_rows
+        em_type, em_param, em_albedo, em_img = ext_mat_rows
         mtype = jnp.where(is_ext, em_type, mtype)
         mparam = jnp.where(is_ext, em_param, mparam)
         albedo = _vwhere(is_ext, em_albedo, albedo)
+        if img_id is not None:
+            # deferred ext texel joins the img channel (albedo rode in as
+            # 1; the caller's between-step gather multiplies the texel)
+            img_id = jnp.where(is_ext, em_img, img_id)
 
     nrm = w_n
     is_light = mtype == float(T.MAT_DIFFUSE_LIGHT)

@@ -210,7 +210,10 @@ def _pixel_step_math(meta, width, height, sq_off, max_bounces, spp,
 
 
 NE = 5  # ext rows: t, nx, ny, nz, mat_f
-H_NE_MAT = 10  # + (mtype, mparam, albedo rgb) in ext-material mode
+# + (mtype, mparam, albedo rgb, deferred texel index) in ext-material mode;
+# the index row's cotangent is structurally zero (its only consumer is the
+# integer texel gather), so the bwd kernel's d_ext row for it is 0
+H_NE_MAT = 11
 
 
 def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
@@ -594,7 +597,7 @@ def _ext_accel_d(scene: T.SceneData):
     return accel
 
 
-def _external_candidate_d(scene, accel, rays, alive, tmin):
+def _external_candidate_d(scene, accel, rays, alive, tmin, plan=None):
     """Differentiable analog of hybrid._external_candidate: closest hit of
     the external types via the custom-VJP flash kernels + XLA record
     assembly. Returns 5 (N,) rows (t, nx, ny, nz, mat_f), t == INF when
@@ -609,10 +612,10 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
     INFv = B.INF
     if not accel and not H._ext_types(scene)[2]:
         # no external types (earth-class: ext-AD solely for the image
-        # deferral) — constant miss record, nothing to differentiate
-        return (jnp.full((n,), INFv), jnp.ones((n,), jnp.float32),
-                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-                jnp.zeros((n,), jnp.float32))
+        # deferral) — constant miss record, nothing to differentiate.
+        # Width must match the step kernel's spec (NE_MAT in ext-material
+        # mode), same as hybrid._external_candidate's early return.
+        return H._const_miss_rows(n, H.ext_mat_mode(scene))
     nan3 = V3(jnp.where(alive, rays.ro.x, NAN),
               jnp.where(alive, rays.ro.y, NAN),
               jnp.where(alive, rays.ro.z, NAN))
@@ -639,25 +642,19 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
         t_t, i_t = flash.flash_tri_hit_culled_d(
             cull_t, coeffs_t, nan3, nand, rays.inside, tmin)
 
-    # big box sets: XLA sweep — differentiable, under jax.checkpoint: its
-    # (faces x boxes x lanes) intermediates stacked over the scan OOM HBM
-    # (measured 195 GB for book2's 400 boxes at 500x500); recomputing the
-    # sweep in the backward costs one extra forward pass of ~60 flops/test
+    # big box sets: XLA slab sweep under a hand-derived VJP
+    # (flash.box_hit_d). The previous jax.checkpoint'd autodiff sweep was
+    # book2's measured train-step floor (0.79 Mrays/s fwd+bwd): XLA's
+    # transpose re-materialized the (6 faces x boxes x lanes) candidate
+    # grid per scan step. The custom backward re-derives only the winner
+    # face per lane — O(lanes) — so residuals are (tables, rays, t, idx).
     _, _, ext_box = H._ext_types(scene)
     t_b = inf
     i_b = jnp.zeros((n,), jnp.int32)
     if ext_box:
-        def _box_sweep(scene, rox, roy, roz, rdx, rdy, rdz, time_, inside_):
-            rays2 = ix.Rays(ro=V3(rox, roy, roz), rd=V3(rdx, rdy, rdz),
-                            time=time_, inside=inside_)
-            tmax0 = jnp.full((n,), INFv)
-            return ix._chunked_min(
-                lambda s, c: ix.box_ts(scene, rays2, s, c, tmin, tmax0),
-                scene.n_boxes, n)
-
-        t_b, i_b = jax.checkpoint(_box_sweep)(
-            scene, rays.ro.x, rays.ro.y, rays.ro.z, rays.rd.x, rays.rd.y,
-            rays.rd.z, rays.time, rays.inside)
+        t_b, i_b = flash.box_hit_d(
+            scene.box_lo, scene.box_hi, scene.box_cs, scene.box_off,
+            scene.box_active, rays.ro, rays.rd, tmin)
         t_b = jnp.where(alive & jnp.isfinite(t_b), t_b, INFv)
 
     t_s = jnp.where(jnp.isfinite(t_s) & alive, t_s, INFv)
@@ -720,17 +717,29 @@ def _external_candidate_d(scene, accel, rays, alive, tmin):
         # ext-material mode (hybrid._external_candidate): evaluate the
         # winner's material/texture here, DIFFERENTIABLY — mat_param /
         # tex_c0 / tex_c1 cotangents flow through the lookups and
-        # sample_texture back to TrainParams
-        from miniraytracer_tpu.models.textures import sample_texture
+        # sample_texture back to TrainParams. With the plan's ext_defer
+        # flag, image texels are NOT fetched here: the flat NN index
+        # (integer quantization — zero cotangent by construction) rides
+        # the 11th row and the scan body gathers once per step outside
+        # the checkpoint, so the 2.2 ms/250k-lane gather is neither
+        # recomputed in the backward nor transposed.
+        from miniraytracer_tpu.models.textures import (
+            sample_texture, sample_texture_deferred)
         from miniraytracer_tpu.ops.lookup import lookup_cols
 
+        defer = (bool(dict(plan)["ext_defer"]) if plan is not None
+                 else False)
         mt, mp, mtex = lookup_cols(
             mat, (scene.mat_type, scene.mat_param, scene.mat_tex))
         p2 = rays2.ro + rays2.rd * safe_t
-        albedo = sample_texture(scene, mtex, uu, vv, p2)
         mat_f = jnp.full((n,), -1.0, jnp.float32)
+        if defer and scene.has_image:
+            albedo, idxf = sample_texture_deferred(scene, mtex, uu, vv, p2)
+        else:
+            albedo = sample_texture(scene, mtex, uu, vv, p2)
+            idxf = jnp.full((n,), -1.0, jnp.float32)
         return (ext_to, nx, ny, nz, mat_f, mt.astype(jnp.float32), mp,
-                albedo.x, albedo.y, albedo.z)
+                albedo.x, albedo.y, albedo.z, idxf)
 
     return jax.checkpoint(_assemble)(
         scene, rays.ro.x, rays.ro.y, rays.ro.z, rays.rd.x, rays.rd.y,
@@ -763,6 +772,9 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
     if use_ext:
         from miniraytracer_tpu.ops import hybrid as H
 
+        if (pack_plan is None and H.ext_mat_mode(scene)
+                and not H._is_traced(scene.mat_type)):
+            pack_plan = H.smem_plan(scene)
         meta_d, tables = H.pack_scene_hybrid(scene, pack_plan)
         ext_accel = _ext_accel_d(scene)
     else:
@@ -833,7 +845,7 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
             er = _external_candidate_d(
                 scene, ext_accel,
                 ix.Rays(ro=ro, rd=rd, time=time, inside=inside),
-                alive, B.TMIN)
+                alive, B.TMIN, pack_plan)
             ext = jnp.stack([r.reshape(r128, 128) for r in er])
             out = step(sph, rect, tri, box, vol, mat, tex, camv, ptab,
                        f, i, k, pix_f, sb_f, t_f, ext)

@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from miniraytracer_tpu.models.textures import sample_texture
+from miniraytracer_tpu.models.textures import (sample_texture,
+                                               sample_texture_deferred)
 from miniraytracer_tpu.ops import bounce as B
 from miniraytracer_tpu.ops import intersect as ix
 from miniraytracer_tpu.ops.lookup import lookup_cols
@@ -64,11 +65,18 @@ INF = B.INF
 NAN = jnp.float32(float("nan"))
 
 # external-candidate rows fed to the step kernel; ext-material mode
-# (scenes whose mat/tex tables exceed the SMEM budget) appends five more:
-# (mtype, mparam, albedo r, g, b) evaluated in XLA for the ext winner
+# (scenes whose mat/tex tables exceed the SMEM budget) appends six more:
+# (mtype, mparam, albedo r, g, b, deferred image texel index) evaluated in
+# XLA for the ext winner — the texel index row is -1 unless the winner's
+# texture is an image AND the plan's ext_defer flag holds (the fetch then
+# happens once, between steps, instead of a full-lane gather per step)
 E_T, E_NX, E_NY, E_NZ, E_MAT = range(5)
 NE = 5
-NE_MAT = 10
+NE_MAT = 11
+
+
+def _is_traced(x) -> bool:
+    return isinstance(x, jax.core.Tracer)
 
 
 def _ext_types(scene: T.SceneData):
@@ -134,10 +142,18 @@ def smem_plan(scene: T.SceneData):
             mat_pos.get(int(v), 0) for v in np.asarray(arr).ravel())
 
     kept_tex_type = np.asarray(scene.tex_type)[np.asarray(tex_ids)]
+    # texel deferral is valid only when every image-referencing material
+    # consumes albedo multiplicatively via scattering (emission/dielectric
+    # lanes would mis-apply a between-step beta multiply)
+    mat_type = np.asarray(scene.mat_type)
+    mat_img = np.asarray(scene.tex_type)[np.asarray(scene.mat_tex)] == T.TEX_IMAGE
+    consuming = np.isin(mat_type, (T.MAT_LAMBERTIAN, T.MAT_METAL,
+                                   T.MAT_ISOTROPIC))
     return (
         ("any_used", any_used),
         ("box_mat", rm(scene.box_mat)
          if scene.has_boxes and scene.n_boxes else None),
+        ("ext_defer", bool((~mat_img | consuming).all())),
         ("has_image_k",
          bool(any_used and (kept_tex_type == T.TEX_IMAGE).any())),
         ("mat_ids", tuple(mat_ids)),
@@ -228,6 +244,14 @@ def can_hybrid(scene: T.SceneData, for_tpu: bool = True) -> bool:
         checks.append((scene.rect_mat, scene.rect_active))
         if not (emat and ext_tri):
             checks.append((scene.tri_mat, scene.tri_active))
+        # boxes/volumes have no spherical uv either: an image texture on
+        # a box face or a volume's isotropic material would shade from the
+        # wrong (normal-derived) uv — only ext-material-mode prims are
+        # exempt (their uv comes from the exact record in XLA)
+        if scene.has_boxes and scene.n_boxes and not (emat and ext_box):
+            checks.append((scene.box_mat, scene.box_active))
+        if scene.n_volumes:
+            checks.append((scene.vol_mat, scene.vol_active))
         for arr, act in checks:
             live = np.asarray(arr)[np.asarray(act)]
             if live.shape[0] and img_mats & set(live.tolist()):
@@ -253,10 +277,19 @@ def pack_scene_hybrid(scene: T.SceneData, plan=None):
     compacted to the in-SMEM-referenced subset first (_smem_scene);
     `plan` (smem_plan) must be supplied when the scene leaves are traced."""
     emat = ext_mat_mode(scene)
+    if emat and plan is None:
+        plan = smem_plan(scene)  # requires a concrete scene
     meta, tables = B.pack_scene(_smem_scene(scene, plan) if emat else scene)
     ext_sph, ext_tri, ext_box = _ext_types(scene)
     if emat:
         meta = dict(meta, ext_mat=True)
+        if dict(plan)["ext_defer"] and scene.has_image:
+            # deferred ext texels ride the img channel: the kernel must
+            # emit it and the caller must gather, even when no KEPT SMEM
+            # texture is an image (img_hw spans the FULL image table —
+            # both in-SMEM and ext flat indices address scene.images)
+            meta = dict(meta, image=True,
+                        img_hw=tuple(int(d) for d in scene.images.shape[1:3]))
     if ext_sph:
         meta = dict(meta, S=0)
         tables[0] = jnp.zeros((1,), jnp.float32)
@@ -298,7 +331,21 @@ def hybrid_accel(scene: T.SceneData, interpret: bool = False):
     return accel
 
 
-def _external_candidate(scene, accel, rays, alive, tmin, interpret):
+def _const_miss_rows(n, emat):
+    """Constant miss-record candidate rows: NE (t=INF, n=(1,0,0), mat 0)
+    or, in ext-material mode, NE_MAT with the mat_f = -1 sentinel, zero
+    material rows and no deferred texel (the step kernel stacks the
+    candidate against a fixed row-count spec, so the width must match)."""
+    z = jnp.zeros((n,), jnp.float32)
+    neg1 = jnp.full((n,), -1.0, jnp.float32)
+    rows = (jnp.full((n,), INF), jnp.ones((n,), jnp.float32), z, z)
+    if emat:
+        return rows + (neg1, z, z, z, z, z, neg1)
+    return rows + (z,)
+
+
+def _external_candidate(scene, accel, rays, alive, tmin, interpret,
+                        plan=None):
     """Flash-intersect the external types and assemble the winner record.
 
     Dead lanes are fed NaN rays: NaN slab/quadratic tests gate nothing in
@@ -313,10 +360,10 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
         # no external types at all (e.g. earth: hybrid solely for the
         # image-texel deferral) — the candidate is the constant miss
         # record; skip the NaN masking / assembly phase entirely
-        # (measured 1.45 ms per 250k-lane step as dead weight)
-        return (jnp.full((n,), INF), jnp.ones((n,), jnp.float32),
-                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-                jnp.zeros((n,), jnp.float32))
+        # (measured 1.45 ms per 250k-lane step as dead weight). In
+        # ext-material mode the step kernel consumes NE_MAT rows, so the
+        # miss record must carry the full 10 (mat_f = -1 sentinel).
+        return _const_miss_rows(n, ext_mat_mode(scene))
     nan3 = V3(jnp.where(alive, rays.ro.x, NAN),
               jnp.where(alive, rays.ro.y, NAN),
               jnp.where(alive, rays.ro.z, NAN))
@@ -429,16 +476,27 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret):
     # ext-material mode: the kernel's SMEM tables are compacted to the
     # in-SMEM-referenced subset, so the winner's material is evaluated
     # HERE from the full tables (texture sampled at the exact record uv,
-    # texture.cpp; images included) and rides five extra rows. mat_f is
-    # the sentinel -1 so the kernel's SMEM mat where-chain never matches
-    # an ext lane.
+    # texture.cpp) and rides six extra rows. mat_f is the sentinel -1 so
+    # the kernel's SMEM mat where-chain never matches an ext lane. When
+    # the plan's ext_defer flag holds, image texels are NOT fetched here:
+    # the row carries the flat NN texel index (albedo 1) and the caller
+    # gathers once between steps — saves the measured 2.2 ms/250k-lane
+    # XLA gather per step (the cost that made random_spheres_2 lose to
+    # the plain wavefront/packed paths).
+    if plan is None and not _is_traced(scene.mat_type):
+        plan = smem_plan(scene)
+    defer = bool(dict(plan)["ext_defer"]) if plan is not None else False
     mt, mp, mtex = lookup_cols(
         mat, (scene.mat_type, scene.mat_param, scene.mat_tex))
     p = rays.ro + rays.rd * safe_t
-    albedo = sample_texture(scene, mtex, uu, vv, p)
     mat_f = jnp.full((n,), -1.0, jnp.float32)
+    if defer and scene.has_image:
+        albedo, idxf = sample_texture_deferred(scene, mtex, uu, vv, p)
+    else:
+        albedo = sample_texture(scene, mtex, uu, vv, p)
+        idxf = jnp.full((n,), -1.0, jnp.float32)
     return (ext_t, nx, ny, nz, mat_f, mt.astype(jnp.float32), mp,
-            albedo.x, albedo.y, albedo.z)
+            albedo.x, albedo.y, albedo.z, idxf)
 
 
 # ---------------------------------------------------------------------------
@@ -655,7 +713,7 @@ def make_workqueue_shader(scene, interpret=False, plan=None):
                           if rem else a)
         t2 = lambda a: padf(a).reshape(n_pad // 128, 128)
         er = _external_candidate(scene, accel, rays, alive, B.TMIN,
-                                 interpret)
+                                 interpret, plan)
         ext = jnp.stack([t2(r) for r in er])
         fstate = jnp.stack([t2(a) for a in (
             rays.ro.x, rays.ro.y, rays.ro.z,
@@ -782,7 +840,7 @@ def render_wavefront_hybrid_pixels(scene, pix, sample_lo, n_samples, max_lum,
         )
         alive = flat(fstate[B.R_ALIVE]) > 0.0
         er = _external_candidate(scene, accel, rays, alive, B.TMIN,
-                                 interpret)
+                                 interpret, plan)
         ext = jnp.stack([t2(r) for r in er])
         fstate, istate, keys, rays_ct, img_out = _step_call(
             meta, tuple(tables), fstate, istate, keys, rays_ct, pix2, ext,

@@ -251,7 +251,16 @@ def make_train_step(mesh: Mesh, *, width: int, height: int, max_bounces: int,
     bounce_ad.can_fuse_ad_ext(scene).
     """
     pack_plan = None
-    if fused_ad == "ext" and scene is not None:
+    if fused_ad == "ext":
+        if scene is None:
+            # without a concrete scene we cannot know whether ext-material
+            # mode applies; computing smem_plan from traced id arrays
+            # inside jit dies with an opaque TracerArrayConversionError
+            # deep in pack_scene_hybrid — fail loudly here instead
+            raise ValueError(
+                "make_train_step(fused_ad='ext') requires the concrete "
+                "`scene` kwarg (its static structure builds the SMEM "
+                "compaction plan before jit)")
         from miniraytracer_tpu.ops import hybrid as H
 
         if H.ext_mat_mode(scene):

@@ -416,3 +416,88 @@ def test_fused_ad_ext_mat_matches_packed(_interpret_flash):
     # per-sphere albedo gradients flow through the XLA texture eval
     assert np.abs(np.asarray(gf.tex_c0)).max() > 0
     assert np.abs(np.asarray(gf.sph_c0)).max() > 0
+
+
+def _ext_box_scene():
+    """>MAX_PRIMS boxes (forces the external box sweep — the book2 ground
+    class) + an in-SMEM rect floor and a rect light. Exercises
+    flash.box_hit_d inside the hybrid-ext AD step."""
+    b = SceneBuilder()
+    b.name = "ext_box_scene"
+    b.set_camera([0, 3.5, 8], [0, 0.6, 0], [0, 1, 0], 45.0, 1.0,
+                 aperture=0.0, focus_dist=8.0, t0=0.0, t1=0.0)
+    b.xz_rect(-6, 6, -6, 6, -0.05,
+              b.lambertian(b.tex_const([0.4, 0.4, 0.4])))
+    green = b.lambertian(b.tex_const([0.3, 0.6, 0.3]))
+    rs = np.random.RandomState(5)
+    for gx in range(9):
+        for gz in range(8):
+            x0, z0 = -2.2 + gx * 0.5, -2.0 + gz * 0.5
+            h = 0.15 + 0.45 * rs.rand()
+            b.box([0, 0, 0], [0.45, h, 0.45], green,
+                  rot_y_deg=float(rs.uniform(-25, 25)),
+                  offset=[x0, 0.0, z0])
+    b.sphere([-1.2, 1.3, 0.5], 0.45,
+             b.lambertian(b.tex_const([0.7, 0.3, 0.3])))
+    lm = b.diffuse_light(b.tex_const([1.0, 1.0, 1.0]), 6.0)
+    ls = b.xz_rect(-1.0, 1.0, -1.0, 1.0, 5.0, lm)
+    b.add_light(ls)
+    b.use_sky = True
+    return b.build()
+
+
+@pytest.mark.slow
+def test_fused_ad_ext_box_matches_packed(_interpret_flash):
+    """book2's scene class: external boxes through the hand-derived
+    box_hit_d VJP. Forward estimator-equal AND TrainParams gradients
+    equal to the packed scan (box geometry itself is not a TrainParams
+    leaf; what must survive is the ray chain THROUGH box hits —
+    reference box.h:12-21, rect.cpp:26-107)."""
+    from miniraytracer_tpu.ops import hybrid as Hy
+
+    scene = _ext_box_scene()
+    assert Hy._ext_types(scene)[2], "scene must have external boxes"
+    assert bounce_ad.can_fuse_ad_ext(scene, for_tpu=False)
+    W = H = 10
+    spp, B = 2, 4
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    sum_x, nv_x, done = _fold_packed(scene, pix, spp, W, H, B, steps)
+    assert bool(done.all())
+    sum_f, nv_f, rays = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H, max_bounces=B,
+        scan_steps=steps, interpret=True, use_ext=True)
+    np.testing.assert_array_equal(np.asarray(nv_f), np.asarray(nv_x))
+    d = np.abs(np.stack([sum_f.x, sum_f.y, sum_f.z], -1)
+               - np.asarray(sum_x)).max()
+    assert d < 1e-5, f"max sum diff {d}"
+
+    params = extract_params(scene)
+    target = jnp.full((W * H, 3), 0.25, jnp.float32)
+
+    def loss_ext(params):
+        sc = apply_params(scene, params)
+        summ, nv, _ = bounce_ad.sample_pixel_sums_fused(
+            sc, pix, 0, spp, width=W, height=H, max_bounces=B,
+            scan_steps=steps, interpret=True, use_ext=True)
+        mean = (jnp.stack([summ.x, summ.y, summ.z], -1)
+                / jnp.maximum(nv, 1.0)[:, None])
+        err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+        return jnp.sum(err * err)
+
+    lf, gf = jax.value_and_grad(loss_ext)(params)
+    lx, gx = jax.value_and_grad(_loss_packed)(
+        params, scene, pix, spp, W, H, B, steps, target)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    any_nonzero = False
+    for name in params._fields:
+        a = np.asarray(getattr(gf, name))
+        bb = np.asarray(getattr(gx, name))
+        scale = max(np.abs(bb).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, bb, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"TrainParams.{name} cotangent mismatch (ext-box)")
+        any_nonzero |= bool(np.abs(bb).max() > 0)
+    assert any_nonzero
+    # shading on the boxes flows back to their albedo texture
+    assert np.abs(np.asarray(gx.tex_c0)).max() > 0

@@ -673,3 +673,79 @@ def test_custom_vjp_nan_lanes_stay_out_of_gradients(monkeypatch):
     gtm = np.asarray(jax.grad(loss_tri)(tri_scene.tri_m))
     assert np.isfinite(gtm).all()
     assert np.abs(gtm).max() > 0
+
+
+def test_box_hit_d_matches_xla_autodiff():
+    """flash.box_hit_d's hand-derived VJP vs XLA autodiff of the same
+    sweep (reference box.h:12-21 one-sided faces): forward bit-equal,
+    gradients w.r.t. every box table AND the rays match. Includes rotated
+    + offset boxes so the rotate_y chain (box_cs/box_off cotangents) is
+    exercised. NaN dead lanes are checked separately: they poison the XLA
+    autodiff oracle (the very failure the masked custom backward fixes)."""
+    import jax
+
+    from miniraytracer_tpu.models.scenes import SceneBuilder
+
+    b = SceneBuilder()
+    b.name = "box_vjp_scene"
+    b.set_camera([0, 2, 6], [0, 0.8, 0], [0, 1, 0], 45.0, 1.0,
+                 aperture=0.0, focus_dist=6.0, t0=0.0, t1=0.0)
+    mat = b.lambertian(b.tex_const([0.5, 0.5, 0.5]))
+    rs = np.random.RandomState(3)
+    for gx in range(6):
+        for gz in range(6):
+            x0, z0 = -3.0 + gx, -3.0 + gz
+            h = 0.3 + 0.5 * rs.rand()
+            b.box([0, 0, 0], [0.8, h, 0.8], mat,
+                  rot_y_deg=float(rs.uniform(-40, 40)),
+                  offset=[x0, 0.0, z0])
+    scene = b.build()
+
+    rng = np.random.default_rng(7)
+    n = 512
+    ro, rd = _rand_rays(rng, n, -4, 4, y=(0.2, 2.5))
+    args = (scene.box_lo, scene.box_hi, scene.box_cs, scene.box_off)
+
+    def loss(fn, blo, bhi, bcs, boff, rox, roy, roz, rdx, rdy, rdz):
+        t, _ = fn(blo, bhi, bcs, boff, scene.box_active,
+                  V3(rox, roy, roz), V3(rdx, rdy, rdz), ix.TMIN)
+        w = jnp.arange(n, dtype=jnp.float32) * 0.01 + 1.0  # non-uniform cot
+        return jnp.sum(jnp.where(t < 1e38, t * w, 0.0))
+
+    ray_args = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z)
+    t_d, i_d = flash.box_hit_d(*args, scene.box_active, ro, rd, ix.TMIN)
+    t_x, i_x = flash._box_sweep_raw(*args, scene.box_active, ro, rd, ix.TMIN)
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_x))
+    np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_x))
+    assert (np.asarray(t_d) < 1e38).sum() > 50  # scene actually hit
+
+    g_d = jax.grad(lambda *a: loss(flash.box_hit_d, *a),
+                   argnums=tuple(range(10)))(*args, *ray_args)
+    g_x = jax.grad(lambda *a: loss(flash._box_sweep_raw, *a),
+                   argnums=tuple(range(10)))(*args, *ray_args)
+    names = ("box_lo", "box_hi", "box_cs", "box_off",
+             "rox", "roy", "roz", "rdx", "rdy", "rdz")
+    for name, a, bb in zip(names, g_d, g_x):
+        a, bb = np.asarray(a), np.asarray(bb)
+        assert np.isfinite(a).all(), f"{name}: non-finite custom grad"
+        scale = max(np.abs(bb).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, bb, rtol=2e-4, atol=1e-5 * scale,
+            err_msg=f"box_hit_d {name} cotangent mismatch")
+    assert np.abs(np.asarray(g_x[0])).max() > 0  # box_lo signal exists
+    assert np.abs(np.asarray(g_x[2])).max() > 0  # rotation signal exists
+
+    # NaN dead lanes: the custom backward masks them out of every
+    # cotangent (the XLA oracle goes NaN here — measured book2 ext-AD
+    # failure class); live-lane signal must survive
+    NAN = jnp.float32(np.nan)
+    dead = jnp.asarray(np.arange(n) >= n - n // 8)
+    ro_n = V3(*(jnp.where(dead, NAN, c) for c in (ro.x, ro.y, ro.z)))
+    rd_n = V3(*(jnp.where(dead, NAN, c) for c in (rd.x, rd.y, rd.z)))
+    g_n = jax.grad(lambda *a: loss(flash.box_hit_d, *a),
+                   argnums=tuple(range(4)))(
+        *args, ro_n.x, ro_n.y, ro_n.z, rd_n.x, rd_n.y, rd_n.z)
+    for name, a in zip(names, g_n):
+        a = np.asarray(a)
+        assert np.isfinite(a).all(), f"{name}: NaN leaked from dead lanes"
+    assert np.abs(np.asarray(g_n[0])).max() > 0

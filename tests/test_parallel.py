@@ -283,3 +283,72 @@ def test_packed_train_step_spp_step_matches_sp_axis():
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(b).all()
         np.testing.assert_allclose(a, b, atol=1e-5 * max(1.0, np.abs(a).max()))
+
+
+def test_full_gradient_set_matches_finite_differences():
+    """North-star sentence as an asserted test (BASELINE.md): gradients
+    w.r.t. albedo, EMISSION (color + scale), sphere center AND radius, and
+    triangle geometry all match central finite differences. Counter-based
+    RNG makes FD deterministic; the scene is built smooth (camera inside a
+    big lambertian sphere's silhouette, big soft sphere light, big
+    backdrop triangle) so no visibility decision flips within +-eps.
+    Measured agreement on this config is <=0.2% per leaf; asserted 2%."""
+    from miniraytracer_tpu.models.scenes import SceneBuilder
+
+    b = SceneBuilder()
+    b.name = "fd_scene"
+    b.set_camera([0, 0.9, 4.2], [0, 0.9, 0], [0, 1, 0], 40.0, 1.0,
+                 aperture=0.0, focus_dist=4.2, t0=0.0, t1=0.0)
+    red = b.lambertian(b.tex_const([0.7, 0.3, 0.2]))
+    b.sphere([0.0, 0.9, 0.0], 1.1, red)  # fills the view
+    b.triangle([-4, -1.2, -2.5], [4, -1.2, -2.5], [0, 5.5, -2.8],
+               b.lambertian(b.tex_const([0.3, 0.5, 0.7])))  # big backdrop
+    lm = b.diffuse_light(b.tex_const([1.0, 0.9, 0.8]), 9.0)
+    ls = b.sphere([2.5, 4.5, 2.5], 1.4, lm)  # big soft light
+    b.add_light(ls)
+    b.use_sky = True
+    scene = b.build()
+
+    W = H = 6
+    offs, _ = integ.sample_offsets(1)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+
+    def loss_of(p):
+        rad, _ = integ.sample_radiance(
+            apply_params(scene, p), pix, jnp.int32(0), offs[0],
+            width=W, height=H, max_bounces=3, loop="scan")
+        return jnp.sum(rad.arr)
+
+    params = extract_params(scene)
+    g = jax.grad(loss_of)(params)
+    loss_j = jax.jit(loss_of)
+
+    def fd(field, idx, eps):
+        arr = getattr(params, field)
+        hi = params._replace(**{field: arr.at[idx].add(eps)})
+        lo = params._replace(**{field: arr.at[idx].add(-eps)})
+        return (float(loss_j(hi)) - float(loss_j(lo))) / (2 * eps)
+
+    # (field, index, eps, must_be_nonzero) — textures: 0 = diffuse-sphere
+    # albedo, 2 = light emission color; mat 2 = the light (emission scale)
+    checks = [
+        ("tex_c0", (0, 0), 1e-2, True),   # albedo R
+        ("tex_c0", (0, 1), 1e-2, True),   # albedo G
+        ("tex_c0", (2, 0), 1e-2, True),   # emission color R
+        ("mat_param", (2,), 1e-2, True),  # emission scale
+        ("sph_c0", (0, 0), 3e-3, True),   # sphere center x
+        ("sph_c0", (0, 1), 3e-3, True),   # sphere center y
+        ("sph_c0", (0, 2), 3e-3, True),   # sphere center z
+        ("sph_radius", (0,), 3e-3, True),  # sphere radius
+        ("tri_m", (0, 2), 3e-3, True),    # triangle base-vertex z
+        ("tri_m", (0, 1), 3e-3, False),   # triangle base-vertex y
+    ]
+    for field, idx, eps, nonzero in checks:
+        ad = float(getattr(g, field)[idx])
+        f = fd(field, idx, eps)
+        assert np.isfinite(ad) and np.isfinite(f), (field, idx, ad, f)
+        if nonzero:
+            assert abs(f) > 1e-4, f"FD signal missing for {field}{idx}"
+        np.testing.assert_allclose(
+            ad, f, rtol=2e-2, atol=2e-4,
+            err_msg=f"AD vs FD mismatch for {field}{idx}")
