@@ -349,12 +349,18 @@ def main():
             "spp_step": args.spp_step,
             "fused_ad": fused,
             "done_frac": round(done_frac, 5),
-            # achieved fraction of the VPU issue-rate speed-of-light model
-            # (~98 Mrays/s fwd+bwd for this op mix: ~2.8k weighted lane-ops
-            # per forward bounce x ~3.5 for the replay-backward pair at
-            # ~0.96 T lane-ops/s one-op/cycle; +-30% model uncertainty —
-            # derivation in STATUS.md ROOFLINE)
-            "sol_issue_frac": round(fwdbwd_mrays / 98.0, 2),
+            # speed-of-light band from the EXACT lowered Mosaic op counts
+            # (tools/roofline_count.py --ad: fwd 3119 + bwd 5614 = 8733
+            # weighted issue slots per lane-bounce pair, (8,128) lanes per
+            # block, 940 MHz v5e VPU; op-count error <5% — the only model
+            # freedom left is the VPU's 1-vs-2 issue slots/cycle):
+            #   single-issue model  940e6*1024/8733 = 110.2 Mrays/s
+            #   dual-issue ceiling  220.4 Mrays/s
+            "sol_single_issue_frac": round(fwdbwd_mrays / 110.2, 2),
+            "sol_dual_issue_frac": round(fwdbwd_mrays / 220.4, 2),
+            # forward fused kernel: 2040 slots/bounce after LICM (1075
+            # invariant broadcasts hoisted) -> 471.8 Mrays/s single-issue
+            "fwd_sol_single_issue_frac": round(fwd_mrays / 471.8, 2),
             # provenance stamp: a cached fallback (cached_from_previous_run)
             # carries the ORIGINAL live measurement's time/device/rev, so a
             # stale or wrong-config cache is distinguishable from a fresh run

