@@ -142,17 +142,22 @@ def image_sample(scene: T.SceneData, img_id, h, w, u, v) -> V3:
 
 
 def sample_texture_deferred(scene: T.SceneData, tex_id: jnp.ndarray, u, v,
-                            p: V3):
+                            p: V3, consume=None):
     """sample_texture with the image FETCH deferred: image-texture rows
     return albedo 1 plus the flat NN texel index into
     scene.images.reshape(-1) (the exact texture.cpp:207-225 quantization at
     the record uv); non-image rows sample normally and carry index -1.
 
     The caller multiplies the gathered texel into throughput later (the
-    hybrid renderers' between-step gather) — valid ONLY when every
-    image-referencing material consumes albedo multiplicatively via
-    scattering (lambertian/metal/isotropic; hybrid.smem_plan's "ext_defer"
-    flag asserts this statically). Returns (albedo V3, idxf (N,) f32)."""
+    hybrid renderers' between-step gather) — valid for materials that
+    consume albedo multiplicatively via scattering (lambertian/metal/
+    isotropic). `consume` is that per-lane mask: image lanes with
+    consume=False get index -1 and albedo 1 WITHOUT a gather — correct
+    only for materials whose albedo is never read (dielectric: weight is
+    1 and it never emits, material.h:158-173). Emissive image materials
+    need the real texel, so hybrid.smem_plan's "ext_defer" flag statically
+    excludes scenes with image-textured lights. consume=None defers every
+    image lane. Returns (albedo V3, idxf (N,) f32)."""
     (ttype, c0x, c0y, c0z, c1x, c1y, c1z, scale, img_id) = lookup_cols(
         tex_id,
         (
@@ -181,8 +186,11 @@ def sample_texture_deferred(scene: T.SceneData, tex_id: jnp.ndarray, u, v,
         ih, iw = (int(d) for d in scene.images.shape[1:3])
         flat = (img_id.astype(jnp.int32) * (ih * iw) + j * iw
                 + i).astype(jnp.float32)
-        idxf = jnp.where(is_img, flat, idxf)
+        defer = is_img if consume is None else (is_img & consume)
+        idxf = jnp.where(defer, flat, idxf)
         one = jnp.ones_like(p.x)
+        # non-consuming image lanes (dielectric-by-default tex ids) also
+        # get albedo 1 — their albedo is never read downstream
         out = vwhere(is_img, V3(one, one, one), out)
     return out, idxf
 

@@ -734,7 +734,10 @@ def _external_candidate_d(scene, accel, rays, alive, tmin, plan=None):
         p2 = rays2.ro + rays2.rd * safe_t
         mat_f = jnp.full((n,), -1.0, jnp.float32)
         if defer and scene.has_image:
-            albedo, idxf = sample_texture_deferred(scene, mtex, uu, vv, p2)
+            consume = ((mt == H.T.MAT_LAMBERTIAN) | (mt == H.T.MAT_METAL)
+                       | (mt == H.T.MAT_ISOTROPIC))
+            albedo, idxf = sample_texture_deferred(scene, mtex, uu, vv, p2,
+                                                   consume)
         else:
             albedo = sample_texture(scene, mtex, uu, vv, p2)
             idxf = jnp.full((n,), -1.0, jnp.float32)

@@ -142,18 +142,18 @@ def smem_plan(scene: T.SceneData):
             mat_pos.get(int(v), 0) for v in np.asarray(arr).ravel())
 
     kept_tex_type = np.asarray(scene.tex_type)[np.asarray(tex_ids)]
-    # texel deferral is valid only when every image-referencing material
-    # consumes albedo multiplicatively via scattering (emission/dielectric
-    # lanes would mis-apply a between-step beta multiply)
+    # texel deferral: scattering materials (lambertian/metal/isotropic)
+    # defer per-lane; dielectric image lanes skip the gather entirely
+    # (their albedo is never read). Only image-textured LIGHTS block the
+    # mode — emission needs the real texel at shade time.
     mat_type = np.asarray(scene.mat_type)
     mat_img = np.asarray(scene.tex_type)[np.asarray(scene.mat_tex)] == T.TEX_IMAGE
-    consuming = np.isin(mat_type, (T.MAT_LAMBERTIAN, T.MAT_METAL,
-                                   T.MAT_ISOTROPIC))
     return (
         ("any_used", any_used),
         ("box_mat", rm(scene.box_mat)
          if scene.has_boxes and scene.n_boxes else None),
-        ("ext_defer", bool((~mat_img | consuming).all())),
+        ("ext_defer",
+         bool(~(mat_img & (mat_type == T.MAT_DIFFUSE_LIGHT)).any())),
         ("has_image_k",
          bool(any_used and (kept_tex_type == T.TEX_IMAGE).any())),
         ("mat_ids", tuple(mat_ids)),
@@ -491,7 +491,10 @@ def _external_candidate(scene, accel, rays, alive, tmin, interpret,
     p = rays.ro + rays.rd * safe_t
     mat_f = jnp.full((n,), -1.0, jnp.float32)
     if defer and scene.has_image:
-        albedo, idxf = sample_texture_deferred(scene, mtex, uu, vv, p)
+        consume = ((mt == T.MAT_LAMBERTIAN) | (mt == T.MAT_METAL)
+                   | (mt == T.MAT_ISOTROPIC))
+        albedo, idxf = sample_texture_deferred(scene, mtex, uu, vv, p,
+                                               consume)
     else:
         albedo = sample_texture(scene, mtex, uu, vv, p)
         idxf = jnp.full((n,), -1.0, jnp.float32)
