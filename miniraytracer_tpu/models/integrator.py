@@ -529,6 +529,7 @@ def render_wavefront(
         "rays": total,
         "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
         "spp": int(jnp.sqrt(spp)) ** 2,
+        "renderer": "wavefront",
     }
     return frame.reshape(height, width, 3), stats
 
@@ -1079,5 +1080,6 @@ def render(
         "rays": total_rays,
         "mrays_per_s": total_rays / elapsed / 1e6 if elapsed > 0 else 0.0,
         "spp": ns,
+        "renderer": "progressive",
     }
     return frame.reshape(height, width, 3), stats

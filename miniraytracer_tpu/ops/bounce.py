@@ -1365,4 +1365,5 @@ def render_wavefront_fused(scene, width, height, spp, max_bounces=32,
         "rays": total,
         "mrays_per_s": total / elapsed / 1e6 if elapsed > 0 else 0.0,
         "spp": ns,
+        "renderer": "fused",
     }
