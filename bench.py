@@ -24,6 +24,7 @@ import argparse
 import datetime
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -80,12 +81,6 @@ def _slope_seconds(call, fence, k: int) -> float:
     fence()
     t_many = time.perf_counter() - t0
     return max(t_many - t_one, 1e-9) / k
-
-
-def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def main():
@@ -316,8 +311,8 @@ def main():
     loss = step_state["loss"]
     fwd_win = [a2["rays"] / s / 1e6 for s in fwd_secs]
     step_win = [scan_rays / s / 1e6 for s in step_secs]
-    fwd_mrays = _median(fwd_win)
-    fwdbwd_mrays = _median(step_win)
+    fwd_mrays = statistics.median(fwd_win)
+    fwdbwd_mrays = statistics.median(step_win)
 
     result = {
         "metric": "cornell_500x500_mrays_per_s_fwdbwd",

@@ -138,13 +138,11 @@ def auto_pick_check(margin=0.9, spp=16):
                                  else "workqueue"),
     }
 
-    def mrays(which, sc):
+    def slope_window(which, sc):
         def once():
             f, st = _render_by_name(which, sc, 500, 500, spp, 32)
             return f, st
 
-        f, st = once()  # warm/compile
-        float(jnp.asarray(f).ravel()[0])
         t0 = time.perf_counter()
         f, st = once()
         float(jnp.asarray(f).ravel()[0])
@@ -161,9 +159,19 @@ def auto_pick_check(margin=0.9, spp=16):
                  "triangles"):
         sc = getattr(S, name)(1.0)
         pick = integ.pick_renderer(sc)
-        other = runner_up[pick](sc)
-        m_pick = mrays(pick, sc)
-        m_other = mrays(other, sc)
+        other = runner_up.get(pick, lambda sc: "wavefront")(sc)
+        # warm both, then TWO interleaved windows each, best-of (a single
+        # window's few-hundred-ms RTT swing can flip the ratio — see
+        # bench.py's median-of-windows rationale); best-of is symmetric
+        # across the pair, so a spurious FAIL needs the same transient to
+        # hit the pick twice
+        for which in (pick, other):
+            f, _ = _render_by_name(which, sc, 500, 500, spp, 32)
+            float(jnp.asarray(f).ravel()[0])
+        m_pick = m_other = 0.0
+        for _ in range(2):
+            m_pick = max(m_pick, slope_window(pick, sc))
+            m_other = max(m_other, slope_window(other, sc))
         check(f"auto-pick {name}", m_pick >= margin * m_other,
               f"picked {pick} {m_pick:.1f} vs {other} {m_other:.1f} Mrays/s")
 

@@ -287,9 +287,16 @@ def pack_scene_hybrid(scene: T.SceneData, plan=None):
             # deferred ext texels ride the img channel: the kernel must
             # emit it and the caller must gather, even when no KEPT SMEM
             # texture is an image (img_hw spans the FULL image table —
-            # both in-SMEM and ext flat indices address scene.images)
-            meta = dict(meta, image=True,
-                        img_hw=tuple(int(d) for d in scene.images.shape[1:3]))
+            # both in-SMEM and ext flat indices address scene.images).
+            # The f32-exactness bound must be re-checked here: pack_scene
+            # saw the COMPACTED scene (possibly has_image=False) and its
+            # own 2^24 guard then never ran.
+            n_img, ih, iw = (int(d) for d in scene.images.shape[:3])
+            if n_img * ih * iw >= 2 ** 24:
+                raise ValueError(
+                    f"image texel table too large for the f32 ext-defer "
+                    f"index row: {n_img}x{ih}x{iw} >= 2^24 texels")
+            meta = dict(meta, image=True, img_hw=(ih, iw))
     if ext_sph:
         meta = dict(meta, S=0)
         tables[0] = jnp.zeros((1,), jnp.float32)

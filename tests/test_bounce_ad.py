@@ -501,3 +501,115 @@ def test_fused_ad_ext_box_matches_packed(_interpret_flash):
     assert any_nonzero
     # shading on the boxes flows back to their albedo texture
     assert np.abs(np.asarray(gx.tex_c0)).max() > 0
+
+
+def _ext_mat_img_ad_scene(n_sph=70):
+    """_ext_mat_ad_scene + image textures ON the ext-material set (the
+    random_spheres_2 class): exercises the deferred ext texel row
+    (em_img >= 0) through the kernel's is_ext img merge and the
+    between-step gather, including dielectric lanes whose tex id
+    defaults to the image (albedo unread -> no gather, index -1)."""
+    from miniraytracer_tpu.models.scenes import _load_earthmap
+
+    b = SceneBuilder()
+    b.name = "ext_mat_img_ad"
+    b.set_camera([0, 3, 12], [0, 1, 0], [0, 1, 0], 40.0, 1.0,
+                 aperture=0.0, focus_dist=10.0, t0=0.0, t1=1.0)
+    img = b.tex_image(_load_earthmap())
+    checker = b.lambertian(b.tex_checker([0.2, 0.3, 0.1], [0.9, 0.9, 0.9],
+                                         0.6))
+    b.sphere([0, -1000, 0], 1000, checker)
+    lightm = b.diffuse_light(b.tex_const([1, 1, 1]), 7.0)
+    b.add_light(b.xz_rect(-2, 2, -2, 2, 8, lightm))
+    rs = np.random.RandomState(7)
+    for i in range(n_sph):
+        p = rs.uniform(-6, 6, 3)
+        p[1] = rs.uniform(0.2, 3)
+        roll = i % 4
+        if roll == 0:
+            m = b.lambertian(img)  # deferred texel lanes
+        elif roll == 1:
+            m = b.lambertian(b.tex_const(rs.uniform(0.1, 0.9, 3).tolist()))
+        elif roll == 2:
+            m = b.metal(b.tex_const(rs.uniform(0.5, 1.0, 3).tolist()),
+                        rs.uniform(0.0, 0.5))
+        else:
+            m = b.dielectric(1.5)
+        b.sphere(p.tolist(), rs.uniform(0.15, 0.45), m)
+    b.use_sky = True
+    return b.build()
+
+
+@pytest.mark.slow
+def test_fused_ad_ext_mat_image_matches_packed(_interpret_flash):
+    """rs2-class coverage the plain ext-mat test lacks: the deferred ext
+    texel index row is actually EXERCISED (>= 0 on lambertian-image
+    winners) — a sign/indexing bug in em_img, the is_ext img_id override
+    or the between-step texel multiply fails here, not only on-chip."""
+    from miniraytracer_tpu.ops import hybrid as H
+
+    scene = _ext_mat_img_ad_scene()
+    assert H.ext_mat_mode(scene) and scene.has_image
+    plan = H.smem_plan(scene)
+    assert dict(plan)["ext_defer"], "deferral must be active for this test"
+    assert bounce_ad.can_fuse_ad_ext(scene, for_tpu=False)
+    # the deferred index row must actually fire for this scene: probe one
+    # candidate batch directly
+    from miniraytracer_tpu.ops import intersect as ix
+    from miniraytracer_tpu.ops.vecmath import V3, vnormalize
+
+    n = 256
+    rngp = np.random.default_rng(3)
+    ro = V3(*[jnp.asarray(rngp.uniform(-6, 6, n).astype(np.float32))
+              for _ in range(3)])
+    rd = vnormalize(V3(*[jnp.asarray(
+        rngp.standard_normal(n).astype(np.float32)) for _ in range(3)]))
+    rays = ix.Rays(ro=ro, rd=rd, time=jnp.zeros((n,)),
+                   inside=jnp.zeros((n,), jnp.int32))
+    er = bounce_ad._external_candidate_d(
+        scene, bounce_ad._ext_accel_d(scene), rays,
+        jnp.ones((n,), bool), 0.001, plan)
+    assert len(er) == 11
+    assert int((np.asarray(er[10]) >= 0).sum()) > 0, (
+        "no deferred texel fired — scene does not cover the em_img path")
+
+    W = H2 = 10
+    spp, B = 2, 4
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H2, dtype=jnp.uint32)
+    sum_x, nv_x, done = _fold_packed(scene, pix, spp, W, H2, B, steps)
+    assert bool(done.all())
+    sum_f, nv_f, _ = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H2, max_bounces=B,
+        scan_steps=steps, interpret=True, use_ext=True)
+    np.testing.assert_array_equal(np.asarray(nv_f), np.asarray(nv_x))
+    d = np.abs(np.stack([sum_f.x, sum_f.y, sum_f.z], -1)
+               - np.asarray(sum_x)).max()
+    assert d < 2e-3, f"max sum diff {d}"
+
+    params = extract_params(scene)
+    target = jnp.full((W * H2, 3), 0.25, jnp.float32)
+
+    def loss_ext(params):
+        sc = apply_params(scene, params)
+        summ, nv, _ = bounce_ad.sample_pixel_sums_fused(
+            sc, pix, 0, spp, width=W, height=H2, max_bounces=B,
+            scan_steps=steps, interpret=True, use_ext=True,
+            pack_plan=plan)
+        mean = (jnp.stack([summ.x, summ.y, summ.z], -1)
+                / jnp.maximum(nv, 1.0)[:, None])
+        err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+        return jnp.sum(err * err)
+
+    lf, gf = jax.value_and_grad(loss_ext)(params)
+    lx, gx = jax.value_and_grad(_loss_packed)(
+        params, scene, pix, spp, W, H2, B, steps, target)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-3)
+    for name in params._fields:
+        a = np.asarray(getattr(gf, name))
+        bb = np.asarray(getattr(gx, name))
+        scale = max(np.abs(bb).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, bb, rtol=1e-2, atol=2e-3 * scale,
+            err_msg=f"TrainParams.{name} cotangent mismatch (ext-mat-img)")
+    assert np.abs(np.asarray(gf.tex_c0)).max() > 0

@@ -120,7 +120,31 @@ def count_loop_body_ops(mod_text: str):
     # split into the while do-region: find "stable_mosaic.scf.while" and
     # take its second region (do block). The pretty form is
     #   "stable_mosaic.scf.while"(...) ({ cond }, { body }) ...
-    i = mod_text.find('"stable_mosaic.scf.while"')
+    # pick the LARGEST while body (a kernel may have small prologue
+    # loops; the per-bounce loop dominates by an order of magnitude)
+    best = None
+    for m in re.finditer(r'"stable_mosaic\.scf\.while"', mod_text):
+        j2 = mod_text.find("({", m.start())
+        d2 = 0
+        k2 = j2
+        regs = []
+        st2 = None
+        while k2 < len(mod_text) and len(regs) < 2:
+            c2 = mod_text[k2]
+            if c2 == "{":
+                if d2 == 0:
+                    st2 = k2
+                d2 += 1
+            elif c2 == "}":
+                d2 -= 1
+                if d2 == 0:
+                    regs.append((st2, k2))
+            k2 += 1
+        if len(regs) == 2:
+            size = regs[1][1] - regs[1][0]
+            if best is None or size > best[0]:
+                best = (size, m.start())
+    i = best[1] if best else -1
     if i < 0:
         # no in-kernel loop (the AD step kernels run one bounce per call,
         # driven by the XLA scan): every op re-executes each call, so the
@@ -243,15 +267,16 @@ def main():
         total_w = 0.0
         out = {"scene": scene, "kernels": []}
         for ti, text in enumerate(texts):
-            try:
-                ops, weighted, hoist = count_loop_body_ops(text)
-            except RuntimeError:
-                continue  # no loop (not a step kernel)
+            ops, weighted, hoist = count_loop_body_ops(text)
             total = sum(ops.values())
             total_w += weighted
             print(f"kernel {ti}: {total:.0f} vector ops / bounce "
                   f"({weighted:.0f} slots; {hoist} hoisted)")
             out["kernels"].append({"ops": total, "weighted": weighted})
+        if len(texts) != 2:
+            print(f"WARNING: expected exactly the fwd/bwd step-kernel "
+                  f"pair, found {len(texts)} Mosaic kernels — the "
+                  f"pair_weighted_slots denominator is suspect")
         out["pair_weighted_slots"] = total_w
         print(json.dumps(out))
         return
