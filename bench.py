@@ -345,14 +345,15 @@ def main():
             "fused_ad": fused,
             "done_frac": round(done_frac, 5),
             # speed-of-light band from the EXACT lowered Mosaic op counts
-            # (tools/roofline_count.py --ad: fwd 3119 + bwd 5614 = 8733
-            # weighted issue slots per lane-bounce pair, (8,128) lanes per
-            # block, 940 MHz v5e VPU; op-count error <5% — the only model
-            # freedom left is the VPU's 1-vs-2 issue slots/cycle):
-            #   single-issue model  940e6*1024/8733 = 110.2 Mrays/s
-            #   dual-issue ceiling  220.4 Mrays/s
-            "sol_single_issue_frac": round(fwdbwd_mrays / 110.2, 2),
-            "sol_dual_issue_frac": round(fwdbwd_mrays / 220.4, 2),
+            # (tools/roofline_count.py --ad; at the production k_sub=4
+            # multi-bounce step: 34713 weighted slots per 4-bounce call =
+            # 8678/lane-bounce pair, (8,128) lanes per block, 940 MHz v5e
+            # VPU; op-count error <5% — the only model freedom left is
+            # the VPU's 1-vs-2 issue slots/cycle):
+            #   single-issue model  940e6*1024/8678 = 110.9 Mrays/s
+            #   dual-issue ceiling  221.8 Mrays/s
+            "sol_single_issue_frac": round(fwdbwd_mrays / 110.9, 2),
+            "sol_dual_issue_frac": round(fwdbwd_mrays / 221.8, 2),
             # forward fused kernel: 2040 slots/bounce after LICM (1075
             # invariant broadcasts hoisted) -> 471.8 Mrays/s single-issue
             "fwd_sol_single_issue_frac": round(fwd_mrays / 471.8, 2),

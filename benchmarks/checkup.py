@@ -176,9 +176,54 @@ def auto_pick_check(margin=0.9, spp=16):
               f"picked {pick} {m_pick:.1f} vs {other} {m_other:.1f} Mrays/s")
 
 
+def ksub_grad_parity():
+    """Compiled gradient parity for the multi-bounce AD kernel (k_sub>1):
+    loss and TrainParams cotangents at sub_steps=4 must match sub_steps=1
+    (the CPU suite asserts only the forward — the interpret-mode vjp of
+    chained bounce bodies is impractical there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from miniraytracer_tpu.models import scenes as S
+    from miniraytracer_tpu.ops import bounce_ad
+    from miniraytracer_tpu.parallel.train import (apply_params,
+                                                  extract_params)
+
+    scene = S.cornell_box(1.0)
+    W = H = 64
+    spp, B = 4, 8
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    params = extract_params(scene)
+    target = jnp.full((W * H, 3), 0.25, jnp.float32)
+
+    def loss(params, ks):
+        sc = apply_params(scene, params)
+        summ, nv, _ = bounce_ad.sample_pixel_sums_fused(
+            sc, pix, 0, spp, width=W, height=H, max_bounces=B,
+            sub_steps=ks)
+        mean = (jnp.stack([summ.x, summ.y, summ.z], -1)
+                / jnp.maximum(nv, 1.0)[:, None])
+        err = jnp.where(nv[:, None] > 0, mean - target, 0.0)
+        return jnp.sum(err * err)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, 1))(params)
+    l4, g4 = jax.value_and_grad(lambda p: loss(p, 4))(params)
+    ok = abs(float(l4) - float(l1)) <= 1e-4 * max(abs(float(l1)), 1e-9)
+    worst = 0.0
+    for name in params._fields:
+        a = np.asarray(getattr(g1, name))
+        b = np.asarray(getattr(g4, name))
+        scale = max(np.abs(a).max(), 1e-8)
+        worst = max(worst, float(np.abs(a - b).max() / scale))
+    ok = ok and worst < 1e-3
+    check("ksub grad parity", ok,
+          f"loss {float(l1):.6f} vs {float(l4):.6f}, worst rel {worst:.2e}")
+
+
 def main():
     kernel_exactness()
     scene_parity()
+    ksub_grad_parity()
     auto_pick_check()
     print(f"checkup: {len(FAILS)} failures", flush=True)
     return 1 if FAILS else 0

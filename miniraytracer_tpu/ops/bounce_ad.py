@@ -217,9 +217,17 @@ H_NE_MAT = 11
 
 
 def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
-                     claim_limit, use_ext=False):
+                     claim_limit, use_ext=False, k_sub=1):
+    """`k_sub` > 1 runs that many bounce sub-steps per kernel call
+    (non-ext, imageless scenes only): the per-call fixed cost — the
+    ~1000-op SMEM scalar-load+broadcast chains of the unrolled primitive
+    tables, which CSE across sub-steps but re-execute per call — then
+    amortizes over k_sub bounces, and the per-step residual round trip to
+    HBM shrinks by the same factor. The global step index is
+    t_step * k_sub + j, so claim gating is unchanged in global units."""
     has_img = meta["image"]
     ne = H_NE_MAT if meta.get("ext_mat") else NE
+    assert k_sub == 1 or (not use_ext and not has_img)
 
     def kernel(*refs):
         refs = list(refs)
@@ -244,10 +252,12 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             jax.lax.bitcast_convert_type(i_ref[r], jnp.int32)
             for r in range(NJ))
         keys = jax.lax.bitcast_convert_type(k_ref[:], jnp.uint32)
-        f_out, i_out, k_out, img_out = _pixel_step_math(
-            meta, width, height, sq_off, max_bounces, spp, claim_limit,
-            tabs, cam_ref, ptab_ref, pix, sampbase, t_step, f, i, keys,
-            ext=ext)
+        f_out, i_out, k_out, img_out = f, i, keys, None
+        for j in range(k_sub):
+            f_out, i_out, k_out, img_out = _pixel_step_math(
+                meta, width, height, sq_off, max_bounces, spp, claim_limit,
+                tabs, cam_ref, ptab_ref, pix, sampbase,
+                t_step * k_sub + j, f_out, i_out, k_out, ext=ext)
         fo_ref[:] = jnp.stack(f_out)
         io_ref[:] = jnp.stack([
             jax.lax.bitcast_convert_type(r, jnp.float32) for r in i_out])
@@ -264,9 +274,11 @@ def _make_fwd_kernel(meta, width, height, sq_off, max_bounces, spp,
 
 
 def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
-                     claim_limit, lens, didx, n_diff, use_ext=False):
+                     claim_limit, lens, didx, n_diff, use_ext=False,
+                     k_sub=1):
     perlin = meta["perlin"]
     ne = H_NE_MAT if meta.get("ext_mat") else NE
+    assert k_sub == 1 or (not use_ext and not meta["image"])
 
     def kernel(*refs):
         if use_ext:
@@ -330,10 +342,15 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
             for j, n in enumerate(didx["tex"]):
                 tex2[n] = dv[o + j]
             tabs = (sph2, rect_l, tri2, box_l, vol_l, mat2, tex2)
-            f_out, _, _, _img = _pixel_step_math(
-                meta, width, height, sq_off, max_bounces, spp, claim_limit,
-                tabs, cam_l, ptab_v, pix, sampbase, t_step, f, i, keys,
-                ext=ext)
+            # replay the k_sub sub-steps from the saved BLOCK-entry state;
+            # the int rows / keys of later sub-steps are integer-valued
+            # functions of it (no cotangents flow through them)
+            f_out, i_out, k_out = f, i, keys
+            for j in range(k_sub):
+                f_out, i_out, k_out, _img = _pixel_step_math(
+                    meta, width, height, sq_off, max_bounces, spp,
+                    claim_limit, tabs, cam_l, ptab_v, pix, sampbase,
+                    t_step * k_sub + j, f_out, i_out, k_out, ext=ext)
             # _img carries a structurally-zero cotangent (its only
             # consumer is the integer texel gather) — excluded from the
             # pullback
@@ -371,7 +388,7 @@ def _make_bwd_kernel(meta, width, height, sq_off, max_bounces, spp,
 
 @lru_cache(maxsize=32)
 def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
-              interpret, use_ext=False):
+              interpret, use_ext=False, k_sub=1):
     """Returns step(tables..., fstate, istate_f, keys_f, pix_f, sb_f, t_f
     [, ext]) -> (fstate', istate_f', keys_f') with a fused custom VJP.
 
@@ -386,10 +403,10 @@ def _get_step(meta, width, height, sq_off, max_bounces, spp, claim_limit,
     didx = diff_indices(meta_d)
     n_diff = sum(len(v) for v in didx.values())
     fwd_kernel = _make_fwd_kernel(meta_d, width, height, sq_off, max_bounces,
-                                  spp, claim_limit, use_ext)
+                                  spp, claim_limit, use_ext, k_sub)
     bwd_kernel = _make_bwd_kernel(meta_d, width, height, sq_off, max_bounces,
                                   spp, claim_limit, lens, didx, n_diff,
-                                  use_ext)
+                                  use_ext, k_sub)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     ptab_spec = pl.BlockSpec((96, 128), lambda b: (0, 0),
@@ -751,7 +768,8 @@ def _external_candidate_d(scene, accel, rays, alive, tmin, plan=None):
 
 def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
                             max_bounces, sq_off=8, scan_steps=0,
-                            interpret=False, use_ext=False, pack_plan=None):
+                            interpret=False, use_ext=False, pack_plan=None,
+                            sub_steps=0):
     """Differentiable (finite-radiance sum, valid count) per pixel over `spp`
     consecutive samples starting at `samp_base`, via the fused step kernels.
 
@@ -787,6 +805,16 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
         scan_steps = spp * 6 + max_bounces + 1
     claim_limit = scan_steps - (max_bounces + 1)
     assert claim_limit >= 0, (scan_steps, max_bounces)
+    # sub_steps: bounce sub-steps per kernel call (see _make_fwd_kernel).
+    # Only the non-ext imageless class qualifies (ext candidates and the
+    # deferred-texel gather are per-bounce XLA work between calls), and
+    # auto stays at 1 in interpret mode: the un-compiled in-kernel vjp of
+    # k chained bounce bodies materializes every intermediate (measured
+    # >29 GB host RSS at k=4 on the 12x12 CPU parity test).
+    if sub_steps <= 0:
+        sub_steps = 1 if (use_ext or meta_d["image"] or interpret) else 4
+    k_sub = max(1, sub_steps) if not (use_ext or meta_d["image"]) else 1
+    outer_steps = -(-scan_steps // k_sub)
 
     n = pix.shape[0]
     rem = (-n) % (BLOCK_ROWS * 128)
@@ -829,7 +857,7 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
     sb_f = bc(t2(sb_p), jnp.float32)
 
     step = _get_step(meta, width, height, sq_off, max_bounces, spp,
-                     claim_limit, interpret, use_ext)
+                     claim_limit, interpret, use_ext, k_sub)
     sph, rect, tri, box, vol, mat, tex, camv, ptab = tables
 
     if use_ext:
@@ -875,7 +903,7 @@ def sample_pixel_sums_fused(scene, pix, samp_base, spp, *, width, height,
 
     (fstate, _, _), _ = jax.lax.scan(
         body, (fstate, istate_f, keys_f),
-        jnp.arange(scan_steps, dtype=jnp.float32))
+        jnp.arange(outer_steps, dtype=jnp.float32))
 
     flat = lambda a: a.reshape(-1)[:n]
     summ = V3(flat(fstate[A_SUM]), flat(fstate[A_SUM + 1]),

@@ -613,3 +613,30 @@ def test_fused_ad_ext_mat_image_matches_packed(_interpret_flash):
             a, bb, rtol=1e-2, atol=2e-3 * scale,
             err_msg=f"TrainParams.{name} cotangent mismatch (ext-mat-img)")
     assert np.abs(np.asarray(gf.tex_c0)).max() > 0
+
+
+@pytest.mark.slow
+def test_fused_ad_sub_steps_match_single(_interpret_flash):
+    """k_sub > 1 (multi-bounce per kernel call — the round-5 headline
+    amortization) must be estimator-identical to k_sub=1: the sub-stepped
+    kernel iterates the exact same step math with the global step index
+    threaded through claim gating. Forward equality is asserted here
+    (bit-exact); GRADIENT k-sub parity runs compiled on-chip in
+    benchmarks/checkup.py — the interpret-mode in-kernel vjp of k chained
+    bounce bodies is impractically slow/memory-hungry on CPU (measured
+    >17 min / 10-29 GB at k=2-4 on tiny configs, which is also why auto
+    keeps k_sub=1 under interpret)."""
+    scene = _sphere_light_scene()
+    W = H = 8
+    spp, B = 2, 4
+    steps = _scan_steps(spp, B)
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    s1, nv1, r1 = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H, max_bounces=B,
+        scan_steps=steps, interpret=True, sub_steps=1)
+    s2, nv2, r2 = bounce_ad.sample_pixel_sums_fused(
+        scene, pix, 0, spp, width=W, height=H, max_bounces=B,
+        scan_steps=steps, interpret=True, sub_steps=2)
+    np.testing.assert_array_equal(np.asarray(nv1), np.asarray(nv2))
+    np.testing.assert_array_equal(np.asarray(s1.arr), np.asarray(s2.arr))
+    assert float(r1) == float(r2)
