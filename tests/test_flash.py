@@ -749,3 +749,4 @@ def test_box_hit_d_matches_xla_autodiff():
         a = np.asarray(a)
         assert np.isfinite(a).all(), f"{name}: NaN leaked from dead lanes"
     assert np.abs(np.asarray(g_n[0])).max() > 0
+
