@@ -100,13 +100,21 @@ def main():
                          "sweep (round 2): (pack, spp_step) = (16,8) 16.73, "
                          "(8,4) 14.53, (4,4) 10.89, (2,8) 6.75 Mrays/s "
                          "fwd+bwd on Cornell 500x500x32.")
-    ap.add_argument("--scan-steps", type=int, default=0,
-                    help="packed scan trip count (0 = pack*6 + bounces + 1)")
-    ap.add_argument("--spp-step", type=int, default=8,
-                    help="samples per pixel per train step (pack mode): "
-                         "spp_step x the lanes in one scan amortizes per-op "
-                         "dispatch overhead. Default from the on-chip joint "
-                         "sweep (round 2).")
+    ap.add_argument("--scan-steps", type=int, default=-1,
+                    help="AD scan trip count. -1 = auto: 657 on the fused "
+                         "path (the round-5 sweep winner at the done>=0.997 "
+                         "bar, benchmarks/spp_sweep.py; claim window 624), "
+                         "0 (the spp*6+bounces+1 formula) otherwise.")
+    ap.add_argument("--spp-step", type=int, default=-1,
+                    help="samples per pixel per train step. -1 = auto: 128 "
+                         "on the fused path (one lane = one pixel tracing "
+                         "spp samples sequentially; the (bounces+1)-step "
+                         "drain tail plus the alive-fraction decay of the "
+                         "scan tail are FIXED costs amortized over spp — "
+                         "round-5 same-session sweep: spp 8/16/32/64/128 at "
+                         "auto scan = 142/180/211/228/239 Mrays/s, trimmed "
+                         "at done>=0.997 = 274/284/289; see STATUS.md), "
+                         "8 on the packed fallback (round-2 sweep).")
     ap.add_argument("--fused-ad", type=str, default="auto",
                     choices=["auto", "on", "off"],
                     help="use the fused custom-VJP bounce step "
@@ -229,6 +237,13 @@ def main():
 
     fused = (args.fused_ad == "on"
              or (args.fused_ad == "auto" and bounce_ad.can_fuse_ad(scene)))
+    # resolve the auto (-1) step-config defaults per path (see the argparse
+    # help): the fused sweep winner would OOM the packed fallback (items =
+    # pixels x spp there), so each path keeps its own tuned default
+    if args.spp_step < 0:
+        args.spp_step = 128 if fused else 8
+    if args.scan_steps < 0:
+        args.scan_steps = 657 if (fused and args.spp_step == 128) else 0
     step = make_train_step(mesh, width=W, height=H, max_bounces=B,
                            pack=args.pack, scan_steps=args.scan_steps,
                            spp_step=args.spp_step, fused_ad=fused)
@@ -344,19 +359,23 @@ def main():
             "spp_step": args.spp_step,
             "fused_ad": fused,
             "done_frac": round(done_frac, 5),
-            # speed-of-light band from the EXACT lowered Mosaic op counts
-            # (tools/roofline_count.py --ad; at the production k_sub=4
-            # multi-bounce step: 34713 weighted slots per 4-bounce call =
-            # 8678/lane-bounce pair, (8,128) lanes per block, 940 MHz v5e
-            # VPU; op-count error <5% — the only model freedom left is
-            # the VPU's 1-vs-2 issue slots/cycle):
-            #   single-issue model  940e6*1024/8678 = 110.9 Mrays/s
-            #   dual-issue ceiling  221.8 Mrays/s
-            "sol_single_issue_frac": round(fwdbwd_mrays / 110.9, 2),
-            "sol_dual_issue_frac": round(fwdbwd_mrays / 221.8, 2),
+            # VPU utilization from the EXACT lowered Mosaic op counts
+            # (tools/roofline_count.py --ad: 8678 weighted slots per
+            # lane-bounce fwd+bwd pair at k_sub=4, (8,128) lanes/block;
+            # op-count error <5%). Clock: the round-4/5 940 MHz figure was
+            # FALSIFIED by the round-5 spp sweep (289 Mrays/s measured >
+            # its 221.8 "dual-issue ceiling"); v5e's public 197 TFLOP/s
+            # bf16 peak / (4 MXUs x 128x128 x 2) derives ~1.5 GHz, used
+            # here. The model is a utilization GAUGE, not an upper bound —
+            # the VPU is multi-ALU (issue width up to 4/cycle):
+            #   single-issue model  1.5e9*1024/8678 = 177.0 Mrays/s
+            "sol_single_issue_frac": round(fwdbwd_mrays / 177.0, 2),
+            # sustained average VPU issue slots per lane per cycle
+            "vpu_slots_per_cycle": round(
+                fwdbwd_mrays * 1e6 * 8678 / (1.5e9 * 1024), 2),
             # forward fused kernel: 2040 slots/bounce after LICM (1075
-            # invariant broadcasts hoisted) -> 471.8 Mrays/s single-issue
-            "fwd_sol_single_issue_frac": round(fwd_mrays / 471.8, 2),
+            # invariant broadcasts hoisted) -> 752.9 Mrays/s single-issue
+            "fwd_sol_single_issue_frac": round(fwd_mrays / 752.9, 2),
             # provenance stamp: a cached fallback (cached_from_previous_run)
             # carries the ORIGINAL live measurement's time/device/rev, so a
             # stale or wrong-config cache is distinguishable from a fresh run
