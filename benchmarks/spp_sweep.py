@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--k", type=int, default=2, help="slope window calls")
     ap.add_argument("--scene", type=str, default="cornell_box")
+    ap.add_argument("--configs", type=str, default="",
+                    help="override the config grid: 'spp/scan,spp/scan,...' "
+                         "(scan 0 = the spp*6+bounces+1 auto formula)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
@@ -90,6 +93,9 @@ def main():
         (128, 0),   # zero-trim reference (scan 801)
         (128, 657),  # adopted bench default
     ]
+    if args.configs:
+        configs = [tuple(int(v) for v in c.split("/"))
+                   for c in args.configs.split(",")]
 
     target = make_frame(W, H, mesh)
     target, _ = render_pass_sharded(
